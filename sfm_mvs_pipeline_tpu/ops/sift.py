@@ -1,0 +1,461 @@
+"""Batched SIFT feature detection + description in pure JAX.
+
+TPU-native replacement for the reference's cv::SIFT::create(featureLimit, 3,
+0.09) frontend (ref: src/cli/PhotogrammetrieCli.cpp:342-357 and the
+per-image extraction loop SfM.cpp:577-597). Instead of per-image dynamic
+keypoint lists, the whole batch of images runs through one jitted pipeline
+with a fixed feature capacity F and validity masks:
+
+  images (B, H, W) -> keypoints (B, F, 2), scale/angle/response (B, F),
+                      valid (B, F), descriptors (B, F, 128)
+
+Algorithm (standard Lowe SIFT, OpenCV-flavored):
+  * optional 2x initial upsample (OpenCV firstOctave = -1)
+  * Gaussian pyramid, nOctaveLayers=3, sigma0=1.6, k=2^(1/3); separable
+    convs on the VPU/MXU
+  * DoG extrema via 3x3x3 reduce_window max/min, contrast prefilter
+  * one-step 3D quadratic subpixel refinement (clamped), contrast + edge
+    (Hessian-ratio, r=10) rejection
+  * per-octave top-k by |response| into the fixed capacity, merged globally
+  * orientation = dominant peak of a 36-bin Gaussian-weighted gradient
+    histogram sampled on a scale-relative grid (bilinear gathers)
+  * descriptor = classic 4x4 spatial x 8 orientation histogram from a
+    rotated, scale-relative 16x16 sample grid; normalize -> clip 0.2 ->
+    renormalize (OpenCV convention, values scaled to ~[0, 512])
+
+Exact OpenCV-bit fidelity is NOT a goal (SURVEY.md §7 hard part (c)); the
+acceptance test is downstream geometry quality. Everything is jit/vmap
+friendly: static shapes, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- gaussians
+def _gauss_kernel1d(sigma: float) -> np.ndarray:
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jax.Array, sigma: float) -> jax.Array:
+    """Separable Gaussian blur. img: (B, H, W). sigma is a python float
+    (static), so the kernel is a compile-time constant."""
+    if sigma <= 0:
+        return img
+    k = jnp.asarray(_gauss_kernel1d(sigma), dtype=img.dtype)
+    r = (len(k) - 1) // 2
+    x = img[:, None]  # (B, 1, H, W)
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x, k.reshape(1, 1, -1, 1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x, k.reshape(1, 1, 1, -1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[:, 0]
+
+
+def _resize_half(img: jax.Array) -> jax.Array:
+    return img[:, ::2, ::2]
+
+
+def _resize_double(img: jax.Array) -> jax.Array:
+    b, h, w = img.shape
+    return jax.image.resize(img, (b, h * 2, w * 2), method="linear")
+
+
+# ---------------------------------------------------------------- pyramid
+def build_pyramid(
+    img: jax.Array,
+    n_octaves: int,
+    n_layers: int = 3,
+    sigma0: float = 1.6,
+    upsample: bool = True,
+    assumed_blur: float = 0.5,
+):
+    """Returns (gaussians, dogs): lists per octave of (B, L+3, Ho, Wo) /
+    (B, L+2, Ho, Wo)."""
+    if upsample:
+        base = _resize_double(img)
+        delta = math.sqrt(max(sigma0**2 - (2 * assumed_blur) ** 2, 0.01))
+    else:
+        base = img
+        delta = math.sqrt(max(sigma0**2 - assumed_blur**2, 0.01))
+    base = gaussian_blur(base, delta)
+
+    k = 2.0 ** (1.0 / n_layers)
+    # incremental blur amounts within an octave (OpenCV scheme)
+    sig_prev = sigma0
+    sig_incr = []
+    for i in range(1, n_layers + 3):
+        sig_total = sigma0 * (k**i)
+        sig_incr.append(math.sqrt(sig_total**2 - sig_prev**2))
+        sig_prev = sig_total
+
+    gaussians, dogs = [], []
+    cur = base
+    for o in range(n_octaves):
+        levels = [cur]
+        g = cur
+        for s in sig_incr:
+            g = gaussian_blur(g, s)
+            levels.append(g)
+        G = jnp.stack(levels, axis=1)  # (B, L+3, H, W)
+        gaussians.append(G)
+        dogs.append(G[:, 1:] - G[:, :-1])
+        # next octave base = level n_layers (sigma doubled), downsampled
+        cur = _resize_half(levels[n_layers])
+    return gaussians, dogs
+
+
+# ---------------------------------------------------------------- extrema
+def _find_octave_extrema(
+    dog: jax.Array,  # (B, L+2, H, W)
+    contrast_threshold: float,
+    edge_threshold: float,
+    n_layers: int,
+    k_oct: int,
+):
+    """Detect + refine extrema in one octave.
+
+    Returns dict of (B, k_oct) arrays: x, y (octave pixel coords, subpixel),
+    layer (int, 1..L), offset_s (subpixel sigma offset), response, valid.
+    """
+    b, L2, h, w = dog.shape
+    prefilter = 0.5 * contrast_threshold / n_layers
+
+    big = jnp.asarray(1e9, dog.dtype)
+    mx = jax.lax.reduce_window(
+        dog, -big, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+    mn = jax.lax.reduce_window(
+        dog, big, jax.lax.min, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+    is_ext = ((dog >= mx) | (dog <= mn)) & (jnp.abs(dog) > prefilter)
+    # only middle layers, keep a border of 5 px (OpenCV SIFT_IMG_BORDER);
+    # masks from iota comparisons (scatter-free: cheap to compile & run)
+    li_ = jax.lax.broadcasted_iota(jnp.int32, (L2, 1, 1), 0)
+    yi_ = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+    xi_ = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+    border = 5
+    keep = (
+        (li_ >= 1)
+        & (li_ < L2 - 1)
+        & (yi_ >= border)
+        & (yi_ < h - border)
+        & (xi_ >= border)
+        & (xi_ < w - border)
+    )
+    is_ext = is_ext & keep[None]
+
+    score = jnp.where(is_ext, jnp.abs(dog), 0.0)
+    flat = score.reshape(b, -1)
+    vals, idx = jax.lax.top_k(flat, k_oct)  # (B, k_oct)
+    valid = vals > 0
+
+    # unravel
+    li = idx // (h * w)
+    rem = idx % (h * w)
+    yi = rem // w
+    xi = rem % w
+
+    # ---- quadratic refinement via finite differences at (li, yi, xi)
+    def grab(dl, dy, dx):
+        return dog[
+            jnp.arange(b)[:, None],
+            jnp.clip(li + dl, 0, L2 - 1),
+            jnp.clip(yi + dy, 0, h - 1),
+            jnp.clip(xi + dx, 0, w - 1),
+        ]
+
+    D = grab(0, 0, 0)
+    dx_ = (grab(0, 0, 1) - grab(0, 0, -1)) * 0.5
+    dy_ = (grab(0, 1, 0) - grab(0, -1, 0)) * 0.5
+    ds_ = (grab(1, 0, 0) - grab(-1, 0, 0)) * 0.5
+    dxx = grab(0, 0, 1) + grab(0, 0, -1) - 2 * D
+    dyy = grab(0, 1, 0) + grab(0, -1, 0) - 2 * D
+    dss = grab(1, 0, 0) + grab(-1, 0, 0) - 2 * D
+    dxy = (grab(0, 1, 1) - grab(0, 1, -1) - grab(0, -1, 1) + grab(0, -1, -1)) * 0.25
+    dxs = (grab(1, 0, 1) - grab(1, 0, -1) - grab(-1, 0, 1) + grab(-1, 0, -1)) * 0.25
+    dys = (grab(1, 1, 0) - grab(1, -1, 0) - grab(-1, 1, 0) + grab(-1, -1, 0)) * 0.25
+
+    H = jnp.stack(
+        [
+            jnp.stack([dxx, dxy, dxs], -1),
+            jnp.stack([dxy, dyy, dys], -1),
+            jnp.stack([dxs, dys, dss], -1),
+        ],
+        -2,
+    )  # (B, K, 3, 3)
+    g = jnp.stack([dx_, dy_, ds_], -1)  # (B, K, 3)
+    # solve H off = -g with regularization for robustness
+    Hr = H + 1e-6 * jnp.eye(3, dtype=dog.dtype)
+    off = -jnp.linalg.solve(Hr, g[..., None])[..., 0]
+    off = jnp.clip(off, -0.5, 0.5)
+
+    contrast = D + 0.5 * jnp.sum(g * off, axis=-1)
+    valid = valid & (jnp.abs(contrast) * n_layers >= contrast_threshold)
+
+    # edge response on the 2x2 spatial Hessian
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = edge_threshold
+    valid = valid & (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+
+    return {
+        "x": xi.astype(dog.dtype) + off[..., 0],
+        "y": yi.astype(dog.dtype) + off[..., 1],
+        "layer": li,
+        "off_s": off[..., 2],
+        "response": jnp.abs(contrast),
+        "valid": valid,
+    }
+
+
+# ------------------------------------------------------- orientation + desc
+def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array, lvl=None) -> jax.Array:
+    """Bilinear sample. img: (H, W) or (nlev, H, W) with per-sample level
+    indices `lvl` (broadcastable to x's shape). Zero padding outside."""
+    h, w = img.shape[-2:]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def at(yy, xx):
+        inside = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yc = jnp.clip(yy, 0, h - 1)
+        xc = jnp.clip(xx, 0, w - 1)
+        if img.ndim == 3:
+            v = img[jnp.broadcast_to(lvl, yc.shape), yc, xc]
+        else:
+            v = img[yc, xc]
+        return jnp.where(inside, v, 0.0)
+
+    return (
+        at(y0i, x0i) * (1 - fx) * (1 - fy)
+        + at(y0i, x0i + 1) * fx * (1 - fy)
+        + at(y0i + 1, x0i) * (1 - fx) * fy
+        + at(y0i + 1, x0i + 1) * fx * fy
+    )
+
+
+_ORI_GRID = 8  # samples per side for orientation histogram
+_DESC_GRID = 16  # samples per side for descriptor
+_N_ORI_BINS = 36
+
+
+def _keypoint_orientation(gauss: jax.Array, lvl, x, y, sigma_rel):
+    """Dominant gradient orientation. gauss: (nlev, H, W) octave stack; lvl,
+    x, y, sigma_rel: (K,) per-keypoint level / octave coords / scales.
+    Returns angle (K,) rad."""
+    lin = jnp.arange(-_ORI_GRID, _ORI_GRID + 1, dtype=gauss.dtype)
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")  # (n, n)
+    # sample spacing: cover radius 3 * 1.5 * sigma
+    step = (3.0 * 1.5) / _ORI_GRID * sigma_rel  # (K,)
+    sx = x[:, None, None] + gx[None] * step[:, None, None]
+    sy = y[:, None, None] + gy[None] * step[:, None, None]
+    lv = lvl[:, None, None]
+
+    dxs = _bilinear(gauss, sx + 1, sy, lv) - _bilinear(gauss, sx - 1, sy, lv)
+    dys = _bilinear(gauss, sx, sy + 1, lv) - _bilinear(gauss, sx, sy - 1, lv)
+    mag = jnp.sqrt(dxs * dxs + dys * dys)
+    theta = jnp.arctan2(dys, dxs)  # (K, n, n)
+
+    r2 = (gx * gx + gy * gy)[None] / (_ORI_GRID / 2.0) ** 2
+    wgt = jnp.exp(-r2) * mag
+
+    bins = (theta / (2 * jnp.pi) * _N_ORI_BINS) % _N_ORI_BINS
+    b0 = jnp.floor(bins).astype(jnp.int32) % _N_ORI_BINS
+    f = bins - jnp.floor(bins)
+    oh0 = jax.nn.one_hot(b0, _N_ORI_BINS, dtype=gauss.dtype) * ((1 - f) * wgt)[..., None]
+    oh1 = jax.nn.one_hot((b0 + 1) % _N_ORI_BINS, _N_ORI_BINS, dtype=gauss.dtype) * (
+        f * wgt
+    )[..., None]
+    hist = jnp.sum(oh0 + oh1, axis=(1, 2))  # (K, 36)
+    # smooth histogram (circular [1 4 6 4 1]/16 like OpenCV, applied once)
+    kern = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], gauss.dtype) / 16.0
+    histp = jnp.concatenate([hist[:, -2:], hist, hist[:, :2]], axis=1)
+    hist = jax.vmap(lambda hrow: jnp.convolve(hrow, kern, mode="valid"))(histp)
+
+    peak = jnp.argmax(hist, axis=1)
+    # parabolic interpolation around the peak
+    hp = hist[jnp.arange(hist.shape[0]), (peak - 1) % _N_ORI_BINS]
+    hc = hist[jnp.arange(hist.shape[0]), peak]
+    hn = hist[jnp.arange(hist.shape[0]), (peak + 1) % _N_ORI_BINS]
+    denom = hp - 2 * hc + hn
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hp - hn) / denom, 0.0)
+    ang_bin = peak.astype(gauss.dtype) + jnp.clip(delta, -0.5, 0.5)
+    return (ang_bin / _N_ORI_BINS) * 2 * jnp.pi
+
+
+def _keypoint_descriptor(gauss: jax.Array, lvl, x, y, sigma_rel, angle):
+    """Classic 4x4x8 SIFT descriptor. gauss: (nlev, H, W). Returns (K, 128)."""
+    d = 4
+    n = _DESC_GRID
+    # sample grid in descriptor-bin units: [-d/2, d/2) with n samples/side
+    lin = (jnp.arange(n, dtype=gauss.dtype) + 0.5) / n * d - d / 2.0  # bin units
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")  # (n, n)
+    bin_w = 3.0 * sigma_rel  # pixels per descriptor bin (hist_width)
+
+    ca = jnp.cos(angle)
+    sa = jnp.sin(angle)
+    # rotate grid by angle, scale to pixels
+    px = (ca[:, None, None] * gx[None] - sa[:, None, None] * gy[None]) * bin_w[
+        :, None, None
+    ] + x[:, None, None]
+    py = (sa[:, None, None] * gx[None] + ca[:, None, None] * gy[None]) * bin_w[
+        :, None, None
+    ] + y[:, None, None]
+
+    lv = lvl[:, None, None]
+    dxs = _bilinear(gauss, px + 1, py, lv) - _bilinear(gauss, px - 1, py, lv)
+    dys = _bilinear(gauss, px, py + 1, lv) - _bilinear(gauss, px, py - 1, lv)
+    mag = jnp.sqrt(dxs * dxs + dys * dys)
+    theta = jnp.arctan2(dys, dxs) - angle[:, None, None]
+
+    # gaussian window over the whole descriptor (sigma = d/2 in bin units)
+    r2 = (gx * gx + gy * gy)[None] / (2 * (d / 2.0) ** 2)
+    wgt = jnp.exp(-r2) * mag  # (K, n, n)
+
+    # spatial soft-binning: sample coords in bin space are (gx + d/2 - 0.5)
+    bx = gx + d / 2.0 - 0.5  # [-0.5 .. 3.5]
+    by = gy + d / 2.0 - 0.5
+    x0 = jnp.floor(bx)
+    y0 = jnp.floor(by)
+    fx = bx - x0
+    fy = by - y0
+
+    def spatial_w(ix, iy):
+        wx = jnp.where(ix == x0, 1 - fx, jnp.where(ix == x0 + 1, fx, 0.0))
+        wy = jnp.where(iy == y0, 1 - fy, jnp.where(iy == y0 + 1, fy, 0.0))
+        inx = (ix >= 0) & (ix < d)
+        iny = (iy >= 0) & (iy < d)
+        return jnp.where(inx & iny, wx * wy, 0.0)
+
+    # (n, n, 16) static spatial weights
+    Wsp = jnp.stack(
+        [spatial_w(ix, iy) for iy in range(d) for ix in range(d)], axis=-1
+    )
+
+    # orientation soft binning (8 bins)
+    nb = 8
+    ob = (theta / (2 * jnp.pi) * nb) % nb
+    o0 = jnp.floor(ob).astype(jnp.int32) % nb
+    fo = ob - jnp.floor(ob)
+    Wo = jax.nn.one_hot(o0, nb, dtype=gauss.dtype) * (1 - fo)[..., None] + jax.nn.one_hot(
+        (o0 + 1) % nb, nb, dtype=gauss.dtype
+    ) * fo[..., None]  # (K, n, n, 8)
+
+    desc = jnp.einsum("knm,nms,knmo->kso", wgt, Wsp, Wo)  # (K, 16, 8)
+    desc = desc.reshape(-1, 128)
+
+    # OpenCV normalization: L2 -> clip 0.2 -> L2 -> scale 512
+    norm = jnp.linalg.norm(desc, axis=1, keepdims=True) + 1e-12
+    desc = jnp.minimum(desc / norm, 0.2)
+    norm = jnp.linalg.norm(desc, axis=1, keepdims=True) + 1e-12
+    return desc / norm * 512.0
+
+
+# ---------------------------------------------------------------- pipeline
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_features",
+        "n_layers",
+        "contrast_threshold",
+        "edge_threshold",
+        "upsample",
+    ),
+)
+def sift_features(
+    images: jax.Array,  # (B, H, W) float in [0, 1] (or uint8)
+    max_features: int = 2048,
+    n_layers: int = 3,
+    contrast_threshold: float = 0.04,
+    edge_threshold: float = 10.0,
+    upsample: bool = True,
+) -> dict:
+    """Full batched SIFT. Returns dict with keys
+    keypoints (B,F,2 — x,y in original pixels), scale, angle, response,
+    valid (B,F), descriptors (B,F,128)."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    b, h, w = images.shape
+    base_dim = min(h, w) * (2 if upsample else 1)
+    n_octaves = max(1, int(math.floor(math.log2(base_dim / 16))))
+
+    gaussians, dogs = build_pyramid(
+        images, n_octaves, n_layers, upsample=upsample
+    )
+
+    k_oct = max_features  # candidates per octave before global merge
+    sigma0 = 1.6
+    per_oct = []
+    for o in range(n_octaves):
+        ext = _find_octave_extrema(
+            dogs[o], contrast_threshold, edge_threshold, n_layers, k_oct
+        )
+        # octave-relative sigma of each keypoint
+        layer_f = ext["layer"].astype(images.dtype) + ext["off_s"]
+        sigma_rel = sigma0 * (2.0 ** (layer_f / n_layers))  # (B, K)
+
+        # orientation + descriptor against the gaussian level of the layer.
+        # use the middle gaussian level per keypoint layer: gather levels
+        G = gaussians[o]  # (B, L+3, Ho, Wo)
+
+        def per_image(Gi, xi, yi, li, sri):
+            # per-keypoint gaussian level via 3D bilinear gathers
+            ang = _keypoint_orientation(Gi, li, xi, yi, sri)
+            descs = _keypoint_descriptor(Gi, li, xi, yi, sri, ang)
+            return ang, descs
+
+        ang, descs = jax.vmap(per_image)(
+            G, ext["x"], ext["y"], ext["layer"], sigma_rel
+        )
+
+        # map coords back to original image space
+        scale_f = 2.0**o / (2.0 if upsample else 1.0)
+        per_oct.append(
+            {
+                "keypoints": jnp.stack([ext["x"], ext["y"]], -1) * scale_f,
+                "scale": sigma_rel * scale_f,
+                "angle": ang,
+                "response": ext["response"],
+                "valid": ext["valid"],
+                "descriptors": descs,
+            }
+        )
+
+    merged = {
+        k: jnp.concatenate([p[k] for p in per_oct], axis=1) for k in per_oct[0]
+    }
+    # global top-F by response among valid
+    score = jnp.where(merged["valid"], merged["response"], -1.0)
+    _, top = jax.lax.top_k(score, max_features)  # (B, F)
+    gather = lambda a: jnp.take_along_axis(
+        a, top.reshape(b, -1, *([1] * (a.ndim - 2))), axis=1
+    )
+    out = {
+        "keypoints": gather(merged["keypoints"]),
+        "scale": jnp.take_along_axis(merged["scale"], top, axis=1),
+        "angle": jnp.take_along_axis(merged["angle"], top, axis=1),
+        "response": jnp.take_along_axis(merged["response"], top, axis=1),
+        "valid": jnp.take_along_axis(merged["valid"], top, axis=1),
+        "descriptors": gather(merged["descriptors"]),
+    }
+    return out

@@ -1,0 +1,126 @@
+"""RANSAC estimators vs OpenCV oracles on synthetic data with outliers."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from sfm_mvs_pipeline_tpu.ops.homography import (
+    find_homography_ransac,
+    homography_inlier_ratio,
+)
+from sfm_mvs_pipeline_tpu.ops.epipolar import (
+    find_essential_ransac,
+    recover_pose,
+    sampson_error,
+)
+from sfm_mvs_pipeline_tpu.ops.pnp import solve_pnp_ransac
+from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat, camera_center
+
+
+def test_homography_ransac(rng):
+    H_true = np.array([[1.1, 0.05, 20.0], [-0.03, 0.95, -10.0], [1e-4, -5e-5, 1.0]])
+    n = 200
+    p1 = rng.uniform(0, 600, size=(n, 2))
+    p1h = np.hstack([p1, np.ones((n, 1))])
+    p2 = (p1h @ H_true.T)
+    p2 = p2[:, :2] / p2[:, 2:3]
+    p2 += rng.normal(size=(n, 2)) * 0.3
+    p2[:50] = rng.uniform(0, 600, size=(50, 2))  # 25% outliers
+    valid = np.ones(n, bool)
+
+    H, mask, count = find_homography_ransac(
+        jax.random.key(0), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid), 3.0
+    )
+    mask = np.asarray(mask)
+    assert mask[50:].sum() > 140  # most true inliers found
+    assert mask[:50].sum() < 8
+    # H agrees with truth up to scale on inliers
+    Hn = np.asarray(H) / np.asarray(H)[2, 2]
+    np.testing.assert_allclose(Hn, H_true, rtol=0.05, atol=0.5)
+
+    ratio = float(
+        homography_inlier_ratio(
+            jax.random.key(0), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid), 3.0
+        )
+    )
+    assert 0.6 < ratio < 0.85
+
+
+def _two_view_scene(rng, n=300, outliers=60):
+    f, cx, cy = 500.0, 320.0, 240.0
+    pts = rng.uniform(-2, 2, size=(n, 3))
+    pts[:, 2] += 6.0
+    R = cv2.Rodrigues(np.array([0.05, 0.25, -0.02]))[0]
+    t = np.array([1.2, -0.1, 0.15])
+    t = t / np.linalg.norm(t)
+    uv1 = pts[:, :2] / pts[:, 2:3] * f + [cx, cy]
+    pc2 = pts @ R.T + t
+    uv2 = pc2[:, :2] / pc2[:, 2:3] * f + [cx, cy]
+    uv1 += rng.normal(size=(n, 2)) * 0.3
+    uv2 += rng.normal(size=(n, 2)) * 0.3
+    uv2[:outliers] = rng.uniform(0, 640, size=(outliers, 2))
+    return pts, R, t, uv1, uv2, (f, cx, cy)
+
+
+def test_essential_and_recover_pose(rng):
+    pts, R_true, t_true, uv1, uv2, (f, cx, cy) = _two_view_scene(rng)
+    xy1 = (uv1 - [cx, cy]) / f
+    xy2 = (uv2 - [cx, cy]) / f
+    valid = np.ones(len(uv1), bool)
+    thresh_norm = 2.0 / f
+
+    E, mask, count = find_essential_ransac(
+        jax.random.key(1), jnp.asarray(xy1), jnp.asarray(xy2), jnp.asarray(valid),
+        thresh_norm,
+    )
+    mask_np = np.asarray(mask)
+    assert mask_np[60:].sum() > 200
+    assert mask_np[:60].sum() < 10
+
+    pose, mask2 = recover_pose(E, jnp.asarray(xy1), jnp.asarray(xy2), mask)
+    R_est = np.asarray(aa_to_rotmat(pose[:3]))
+    t_est = np.asarray(pose[3:])
+    # rotation error
+    cos = (np.trace(R_est @ R_true.T) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 1.0
+    # translation direction error (sign-fixed unit vector)
+    tdir = t_est / np.linalg.norm(t_est)
+    assert min(
+        np.linalg.norm(tdir - t_true), np.linalg.norm(tdir + t_true)
+    ) < 0.05
+
+
+def test_sampson_zero_for_perfect_points(rng):
+    pts, R, t, uv1, uv2, (f, cx, cy) = _two_view_scene(rng, outliers=0)
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E = tx @ R
+    xy1 = (uv1 - [cx, cy]) / f
+    xy2 = (uv2 - [cx, cy]) / f
+    err = np.asarray(sampson_error(jnp.asarray(E), jnp.asarray(xy1), jnp.asarray(xy2)))
+    assert np.median(err) < 2.0 / f  # noise-level
+
+
+def test_pnp_ransac_vs_opencv(rng):
+    f, cx, cy = 500.0, 320.0, 240.0
+    intr = jnp.asarray([f, cx, cy, -0.05, 0.01, 0, 0], dtype=jnp.float64)
+    n = 250
+    pts = rng.uniform(-2, 2, size=(n, 3))
+    pts[:, 2] += 6.0
+    rvec_true = np.array([0.1, -0.3, 0.05])
+    tvec_true = np.array([0.4, 0.2, 0.5])
+    K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]])
+    dist = np.array([-0.05, 0.01, 0, 0])
+    uv, _ = cv2.projectPoints(pts.reshape(-1, 1, 3), rvec_true, tvec_true, K, dist)
+    uv = uv.reshape(-1, 2) + rng.normal(size=(n, 2)) * 0.4
+    uv[:50] = rng.uniform(0, 640, size=(50, 2))
+
+    pose, mask, ratio = solve_pnp_ransac(
+        jax.random.key(2), jnp.asarray(pts), jnp.asarray(uv), intr,
+        jnp.ones(n, bool), 3.0,
+    )
+    pose = np.asarray(pose)
+    np.testing.assert_allclose(pose[:3], rvec_true, atol=2e-3)
+    np.testing.assert_allclose(pose[3:], tvec_true, atol=1e-2)
+    assert float(ratio) > 0.75
+    assert np.asarray(mask)[:50].sum() < 5
