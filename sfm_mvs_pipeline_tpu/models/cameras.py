@@ -53,6 +53,7 @@ class CameraModel:
 
 # (ref model selection: src/cli/PhotogrammetrieCli.cpp:288-299; default = simple-radial)
 CAMERA_MODELS: dict[str, CameraModel] = {
+    "fixed": CameraModel("fixed", ()),  # calibrated: BA never touches intrinsics
     "simple": CameraModel("simple", (F,)),
     "simple-radial": CameraModel("simple-radial", (F, K1, K2)),
     "distortion": CameraModel("distortion", (F, CX, CY, K1, K2, P1, P2)),

@@ -486,13 +486,13 @@ def run_bundle_adjustment(
                 break
 
     _tt3 = _time.perf_counter()
-    result_pts = np.asarray(pts, dtype=points.dtype)[:P]
+    result_pts = np.array(pts, dtype=points.dtype)[:P]
     if verbose:
         print(f"  BA teardown: result transfer {_time.perf_counter()-_tt3:.2f}s", flush=True)
     return {
         "points": result_pts,
-        "poses": np.asarray(pos, dtype=poses.dtype),
-        "intrinsics": np.asarray(K, dtype=intr.dtype),
+        "poses": np.array(pos, dtype=poses.dtype),
+        "intrinsics": np.array(K, dtype=intr.dtype),
         "cost": cost,
         "iterations": iters,
         "converged": converged,

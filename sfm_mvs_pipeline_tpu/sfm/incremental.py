@@ -1,0 +1,418 @@
+"""Incremental SfM driver: the host-side state machine over jitted kernels.
+
+Mirrors SfM::reconstructScene / SfM::triangulate
+(ref: src/photogrammetrie/sfm/SfM.cpp:143-381):
+
+  extract features -> match pairs -> homography ratios -> baseline pair ->
+  loop: pick best 3D-2D shot -> PnP -> triangulate adjoining pairs ->
+  merge into tracks -> bundle adjust -> repeat
+
+The *driver* is Python (the view ordering is inherently sequential and
+data-dependent — SURVEY.md §7 hard part (a)); every inner computation is a
+fixed-shape jitted batch op: matching (Pallas 2-NN), homography/essential/
+PnP RANSAC, triangulation, LM bundle adjustment. Track bookkeeping uses the
+point_of_feat index join (models/scene.py) instead of the reference's
+linear scans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_mvs_pipeline_tpu.models.cameras import CAMERA_MODELS
+from sfm_mvs_pipeline_tpu.models.scene import Scene
+from sfm_mvs_pipeline_tpu.ops import matching as M
+from sfm_mvs_pipeline_tpu.ops.epipolar import find_essential_ransac, recover_pose
+from sfm_mvs_pipeline_tpu.ops.homography import homography_inlier_ratio
+from sfm_mvs_pipeline_tpu.ops.pnp import solve_pnp_ransac
+from sfm_mvs_pipeline_tpu.ops.pose import compose_pose
+from sfm_mvs_pipeline_tpu.ops.triangulate import triangulate_pair
+from sfm_mvs_pipeline_tpu.models.cameras import undistort_points
+from sfm_mvs_pipeline_tpu.sfm.ba import BAConfig, run_bundle_adjustment
+
+
+@dataclasses.dataclass
+class SfMConfig:
+    """Thresholds mirroring the reference defaults (src/photogrammetrie/sfm/SfM.h:47-58)."""
+
+    min_match_count: int = 20
+    baseline_min_matches: int = 100
+    ransac_matching_threshold: float = -3.0  # sign convention: <0 => abs px
+    ransac_baseline_threshold: float = -1.0
+    ransac_pose_threshold: float = -8.0
+    min_homography_inlier_ratio: float = 0.5
+    min_pose_inlier_ratio: float = 0.5
+    max_reprojection_error: float = 10.0
+    point_merge_distance: float = 0.01
+    feature_merge_distance: float = 20.0
+    lowe_ratio: float = 0.7
+    distinct_matches: bool = False
+    matcher_backend: str = "auto"
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    ba_every_view: bool = True  # reference runs BA after every added view
+    seed: int = 0
+
+
+def _resolve_thresh(param: float, max_dim: float) -> float:
+    return -param if param < 0 else param * max_dim
+
+
+# ------------------------------------------------------------ jitted helpers
+@partial(jax.jit, static_argnames=())
+def _pair_pose_jit(kp_a, kp_b, idx, mask, intr_a, intr_b, thresh_px, key):
+    """Relative pose of pair via essential RANSAC + cheirality.
+
+    Returns (pose6 rel, inlier_mask (F,))."""
+    uv1 = kp_a
+    uv2 = kp_b[idx]
+    xy1 = undistort_points(intr_a, uv1)
+    xy2 = undistort_points(intr_b, uv2)
+    f = intr_a[0]
+    E, em, _ = find_essential_ransac(key, xy1, xy2, mask, thresh_px / f)
+    pose, em2 = recover_pose(E, xy1, xy2, em)
+    return pose, em2
+
+
+@partial(jax.jit, static_argnames=())
+def _triangulate_pair_jit(
+    pose_a, pose_b, intr_a, intr_b, kp_a, kp_b, idx, mask, max_err
+):
+    uv1 = kp_a
+    uv2 = kp_b[idx]
+    pts, keep, errs = triangulate_pair(
+        pose_a, pose_b, intr_a, intr_b, uv1, uv2,
+        valid=mask, max_reprojection_error=max_err,
+    )
+    return pts, keep
+
+
+def _homography_ratios(scene: Scene, match_idx, match_mask, pairs, thresh, seed):
+    """Batched homography inlier ratio per pair (lax.map chunks)."""
+    kp = jnp.asarray(scene.keypoints)
+
+    @jax.jit
+    def go(pairs_d, idx_d, mask_d):
+        def one(args):
+            pair, idx, mask, key = args
+            uv1 = kp[pair[0]]
+            uv2 = kp[pair[1]][idx]
+            return homography_inlier_ratio(key, uv1, uv2, mask, thresh)
+
+        keys = jax.random.split(jax.random.key(seed), pairs_d.shape[0])
+        return jax.lax.map(one, (pairs_d, idx_d, mask_d, keys), batch_size=8)
+
+    return np.asarray(
+        go(jnp.asarray(pairs), jnp.asarray(match_idx), jnp.asarray(match_mask))
+    )
+
+
+# ------------------------------------------------------------------- driver
+def reconstruct(
+    scene: Scene,
+    pairs: np.ndarray,
+    config: SfMConfig | None = None,
+    log=lambda *a: None,
+) -> dict:
+    """Run incremental SfM on a scene with extracted features.
+
+    pairs: (P, 2) int32 candidate pairs from a pair policy.
+    Mutates `scene` in place; returns stats dict.
+    """
+    cfg = config or SfMConfig()
+    S, F = scene.feat_valid.shape
+    w_img, h_img = scene.image_size
+    max_dim = float(max(w_img, h_img))
+    thr_match = _resolve_thresh(cfg.ransac_matching_threshold, max_dim)
+    thr_base = _resolve_thresh(cfg.ransac_baseline_threshold, max_dim)
+    thr_pose = _resolve_thresh(cfg.ransac_pose_threshold, max_dim)
+    key = jax.random.key(cfg.seed)
+
+    # ---- 1. match all candidate pairs (the sharded hot loop)
+    log(f"matching {len(pairs)} pairs")
+    midx, mmask = M.match_pairs_batch(
+        jnp.asarray(scene.descriptors),
+        jnp.asarray(scene.feat_valid),
+        jnp.asarray(pairs),
+        ratio=cfg.lowe_ratio,
+        distinct=cfg.distinct_matches,
+        backend=cfg.matcher_backend,
+    )
+    midx = np.asarray(midx)
+    mmask = np.asarray(mmask)
+    counts = mmask.sum(axis=1)
+    live = counts >= cfg.min_match_count  # ref min-match filter (SfM.cpp:566-570)
+    log(f"pairs with >= {cfg.min_match_count} matches: {int(live.sum())}")
+
+    # ---- 2. homography inlier ratios (pair ordering metric)
+    ratios = _homography_ratios(
+        scene, midx, mmask, pairs, thr_match, cfg.seed
+    )
+    ratios = np.where(live, ratios, -1.0)
+
+    intr_d = jnp.asarray(scene.intrinsics, np.float64)
+    kp_d = jnp.asarray(scene.keypoints, np.float64)
+
+    pair_matches = {}  # (a, b) -> (idx_a, idx_b) compact
+    for k_, (a, b) in enumerate(pairs):
+        if live[k_]:
+            q = np.nonzero(mmask[k_])[0]
+            pair_matches[(int(a), int(b))] = (q.astype(np.int32), midx[k_][q])
+
+    queue = {(int(a), int(b)) for k_, (a, b) in enumerate(pairs) if live[k_]}
+    done_pairs, failed_pairs = [], []
+    stats = {"baseline": None, "ba_runs": 0, "views": 0}
+
+    def intr_of(s):
+        return intr_d[scene.cam_of_shot[s]]
+
+    def run_ba():
+        model = CAMERA_MODELS[scene.camera_model]
+        imask = np.zeros((len(scene.intrinsics), 7))
+        imask[:, list(model.opt_mask)] = 1.0
+        out = run_bundle_adjustment(
+            scene.points.astype(np.float64),
+            scene.poses,
+            scene.intrinsics,
+            scene.cam_of_shot,
+            scene.obs_point,
+            scene.obs_shot,
+            scene.obs_uv.astype(np.float64),
+            scene.obs_w.astype(np.float64),
+            imask,
+            pose_free=scene.recovered.astype(np.float64),
+            config=cfg.ba,
+        )
+        scene.points = out["points"]
+        scene.poses = out["poses"]
+        scene.intrinsics = out["intrinsics"]
+        stats["ba_runs"] += 1
+        n_live = max(int((scene.obs_w > 0).sum()), 1)
+        log(
+            f"BA #{stats['ba_runs']}: cost {out['cost']:.3g} "
+            f"({out['iterations']} iters, rms "
+            f"{np.sqrt(2 * out['cost'] / n_live):.3f} px)"
+        )
+
+    def pair_pose(a, b, thresh):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        ia, ib = pair_matches[(a, b)]
+        idx = np.zeros(F, np.int32)
+        mask = np.zeros(F, bool)
+        idx[ia] = ib
+        mask[ia] = True
+        pose, em = _pair_pose_jit(
+            kp_d[a], kp_d[b], jnp.asarray(idx), jnp.asarray(mask),
+            intr_of(a), intr_of(b), thresh, sub,
+        )
+        return np.asarray(pose), np.asarray(em), mask
+
+    def triangulate_and_merge(a, b, em):
+        """Triangulate inlier matches of a recovered pair and merge into
+        tracks (the reference's mergePointcloudElement3d2d by shared
+        feature; Scene.cpp:470-561)."""
+        pts, keep = _triangulate_pair_jit(
+            jnp.asarray(scene.poses[a]),
+            jnp.asarray(scene.poses[b]),
+            intr_of(a),
+            intr_of(b),
+            kp_d[a],
+            kp_d[b],
+            jnp.asarray(_full_idx(a, b)),
+            jnp.asarray(em),
+            cfg.max_reprojection_error,
+        )
+        pts = np.asarray(pts)
+        keep = np.asarray(keep)
+        idx_b = _full_idx(a, b)
+        i_all = np.nonzero(keep)[0]
+        j_all = idx_b[i_all]
+        pa = scene.point_of_feat[a, i_all]
+        pb = scene.point_of_feat[b, j_all]
+
+        # extend track on the untracked side (vectorized index join)
+        ext_a = (pb >= 0) & (pa < 0)  # b's feature tracked -> add obs in a
+        ext_b = (pa >= 0) & (pb < 0)
+        if ext_a.any():
+            scene.add_observations(
+                pb[ext_a], np.full(ext_a.sum(), a), i_all[ext_a],
+                scene.keypoints[a, i_all[ext_a]],
+            )
+        if ext_b.any():
+            scene.add_observations(
+                pa[ext_b], np.full(ext_b.sum(), b), j_all[ext_b],
+                scene.keypoints[b, j_all[ext_b]],
+            )
+
+        # brand-new tracks
+        new = (pa < 0) & (pb < 0)
+        i_new = i_all[new]
+        j_new = j_all[new]
+        n_new = len(i_new)
+        if n_new:
+            pids = np.arange(
+                scene.n_points, scene.n_points + n_new, dtype=np.int32
+            )
+            scene.points = np.concatenate([scene.points, pts[i_new]])
+            scene.point_valid = np.concatenate(
+                [scene.point_valid, np.ones(n_new, bool)]
+            )
+            scene.colors = np.concatenate(
+                [scene.colors, np.zeros((n_new, 4), np.uint8)]
+            )
+            scene.obs_point = np.concatenate([scene.obs_point, pids, pids])
+            scene.obs_shot = np.concatenate(
+                [
+                    scene.obs_shot,
+                    np.full(n_new, a, np.int32),
+                    np.full(n_new, b, np.int32),
+                ]
+            )
+            scene.obs_feat = np.concatenate([scene.obs_feat, i_new, j_new])
+            scene.obs_uv = np.concatenate(
+                [
+                    scene.obs_uv,
+                    scene.keypoints[a, i_new],
+                    scene.keypoints[b, j_new],
+                ]
+            )
+            scene.obs_w = np.concatenate(
+                [scene.obs_w, np.ones(2 * n_new, np.float32)]
+            )
+            scene.point_of_feat[a, i_new] = pids
+            scene.point_of_feat[b, j_new] = pids
+        return n_new, int(ext_a.sum() + ext_b.sum())
+
+    def _full_idx(a, b):
+        ia, ib = pair_matches[(a, b)]
+        idx = np.zeros(F, np.int32)
+        idx[ia] = ib
+        return idx
+
+    # ---- 3. baseline pair (ref: SfM.cpp:176-245)
+    order = [
+        k_
+        for k_ in np.argsort(ratios, kind="stable")
+        if live[k_]
+        and ratios[k_] >= cfg.min_homography_inlier_ratio
+        and counts[k_] >= cfg.baseline_min_matches
+    ]
+    if not order:  # fall back: allow any live pair ordered by ratio
+        order = [
+            k_
+            for k_ in np.argsort(ratios, kind="stable")
+            if live[k_] and ratios[k_] >= 0
+        ]
+    baseline_found = False
+    for k_ in order:
+        a, b = int(pairs[k_][0]), int(pairs[k_][1])
+        log(f"trying baseline pair ({a}, {b}) ratio={ratios[k_]:.3f}")
+        try:
+            pose_rel, em, mask = pair_pose(a, b, thr_base)
+        except Exception as e:  # numerical failure: try next pair
+            log(f"baseline pose failed: {e}")
+            continue
+        pose_ratio = em.sum() / max(mask.sum(), 1)
+        if pose_ratio < cfg.min_pose_inlier_ratio:
+            log(f"pose inlier ratio too low: {pose_ratio:.3f}")
+            continue
+        scene.poses[a] = 0.0
+        scene.poses[b] = pose_rel
+        scene.recovered[a] = True
+        scene.recovered[b] = True
+        n_new, _ = triangulate_and_merge(a, b, em)
+        log(f"baseline ({a}, {b}): {n_new} points")
+        queue.discard((a, b))
+        done_pairs.append((a, b))
+        stats["baseline"] = (a, b)
+        stats["views"] = 2
+        baseline_found = True
+        break
+    if not baseline_found:
+        log("no baseline pair could be triangulated")
+        return stats
+    run_ba()
+
+    # ---- 4. incremental loop (ref: SfM.cpp:247-375)
+    while queue:
+        remaining_shots = sorted(
+            {s for p in queue for s in p if not scene.recovered[s]}
+        )
+        if not remaining_shots:
+            break
+        # pick the shot with the most 3D-2D correspondences
+        best_shot, best_n, best_corr = -1, -1, None
+        for s in remaining_shots:
+            pids, fids, uv = scene.find_2d3d(s, pair_matches)
+            if len(pids) > best_n:
+                best_shot, best_n, best_corr = s, len(pids), (pids, fids, uv)
+        if best_n <= 0:
+            break
+        s = best_shot
+        pids, fids, uv = best_corr
+        log(f"registering shot {s} with {best_n} 3D-2D correspondences")
+
+        # PnP (ref: findCameraPoseFrom3d2dMatch, 100 iters, SfM.cpp:478)
+        npts = len(pids)
+        cap = 8
+        while cap < npts:
+            cap *= 2
+        X = np.zeros((cap, 3))
+        U = np.zeros((cap, 2))
+        V = np.zeros(cap, bool)
+        X[:npts] = scene.points[pids]
+        U[:npts] = uv
+        V[:npts] = True
+        key, sub = jax.random.split(key)
+        try:
+            pose, inl, ratio = solve_pnp_ransac(
+                sub, jnp.asarray(X), jnp.asarray(U), intr_of(s),
+                jnp.asarray(V), thr_pose, k_hyp=256,
+            )
+            ratio = float(ratio)
+        except Exception as e:
+            log(f"PnP failed: {e}")
+            ratio = -1.0
+        if ratio < cfg.min_pose_inlier_ratio:
+            log(f"pose inlier ratio too low ({ratio:.3f}); dropping shot {s}")
+            dead = [p for p in queue if s in p]
+            for p in dead:
+                queue.discard(p)
+                failed_pairs.append(p)
+            continue
+        scene.poses[s] = np.asarray(pose)
+        scene.recovered[s] = True
+        stats["views"] += 1
+
+        # process adjoining recovered pairs (ref: SfM.cpp:333-371)
+        adjoining = [
+            p
+            for p in sorted(queue)
+            if s in p and scene.recovered[p[0]] and scene.recovered[p[1]]
+        ]
+        for a, b in adjoining:
+            try:
+                _, em, _ = pair_pose(a, b, thr_base)
+            except Exception as e:
+                log(f"pair ({a},{b}) pose failed: {e}")
+                continue
+            n_new, n_ext = triangulate_and_merge(a, b, em)
+            log(f"pair ({a}, {b}): +{n_new} points, +{n_ext} track extensions")
+            queue.discard((a, b))
+            done_pairs.append((a, b))
+        if cfg.ba_every_view:
+            run_ba()
+    if not cfg.ba_every_view:
+        run_ba()
+
+    stats["points"] = scene.n_points
+    stats["observations"] = scene.n_obs
+    stats["recovered"] = int(scene.recovered.sum())
+    stats["done_pairs"] = len(done_pairs)
+    stats["failed_pairs"] = len(failed_pairs)
+    return stats
