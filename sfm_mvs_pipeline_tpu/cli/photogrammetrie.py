@@ -1,0 +1,259 @@
+"""The end-to-end photogrammetry driver CLI.
+
+Parity with PhotogrammetrieCli (ref: src/cli/PhotogrammetrieCli.cpp:45-247):
+workdir prep -> stats sampler -> scene build -> SfM -> artifacts/PLYs/stats
+-> MVS (dense/mesh). Full reference flag set (PhotogrammetrieCli.cpp:422-460).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+
+from sfm_mvs_pipeline_tpu.utils.args import AppArgs
+from sfm_mvs_pipeline_tpu.utils import logger as logging
+
+log = logging.AppLogger("PhotogrammetrieCli")
+
+
+def print_usage() -> None:
+    print(
+        """photogrammetrie — sparse SfM + dense MVS reconstruction
+
+  -Pimage=<dir|file>                 image directory (or repeated files)
+  -Pout=<dir>                        working/output directory (default ./out)
+  -Pcamera-model=simple|simple-radial|distortion   (default simple-radial)
+  -Pfeature-detector=sift|orb        (default sift)
+  -Pfeature-limit=N                  max features per image (default 10000, max 262144)
+  -Pfeature-matcher=bf|flann         (default bf; flann = approximate path)
+  -Pfeature-sequence=N               video window / grid neighborhood size
+  -Pfeature-gridlength=N             grid row length (enables grid pairing)
+  -Pmatch-threshold=N                min matches per pair (default 20)
+  -Pbaseline-homography-threshold=N  min matches for baseline pair (default 100)
+  -Phomography-inlier-ratio-threshold=X  (default 0.5)
+  -Ppose-inlier-ratio-threshold=X    (default 0.5)
+  -Pransac-matching-threshold=X      <0: -abs px, >0: fraction of max dim (default -3)
+  -Pransac-baseline-threshold=X      (default -1)
+  -Pransac-pose-threshold=X          (default -8)
+  -Preprojection-error-threshold=X   (default 10)
+  -Ppointcloud-point-merge-distance=X    (default 0.01)
+  -Ppointcloud-feature-merge-distance=X  (default 20)
+  -Pomp-feature-threads=N            (accepted for compat; batching replaces it)
+  --distinct-matches                 drop ambiguous (shared-target) matches
+  --colored                          colorize the sparse cloud
+  --dense                            run dense MVS
+  --sgm                              use SGM instead of plane-sweep for depth
+  --mesh                             mesh the dense cloud
+  --no-decimate                      skip mesh decimation
+  --refine-mesh                      run mesh refinement
+  --stats                            write statistics CSVs + resource samples
+  --artifacts                        keep debug artifacts (matches, depth maps)
+  --help"""
+    )
+
+
+def prepare_working_dir(path: str) -> None:
+    """Wipe + recreate like the reference (PhotogrammetrieCli.cpp:399-402)."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+
+def main(args: AppArgs) -> int:
+    if args.is_flag("help"):
+        print_usage()
+        return 0
+
+    out_dir = args.get("out", "out")
+    image_args = args.get_all("image")
+    if not image_args:
+        log.error("no -Pimage given")
+        print_usage()
+        return 2
+
+    prepare_working_dir(out_dir)
+
+    sampler = None
+    if args.is_flag("stats"):
+        from sfm_mvs_pipeline_tpu.utils.stats import ResourceSampler
+
+        sampler = ResourceSampler(os.path.join(out_dir, "app.stat.csv"))
+        sampler.start()
+
+    try:
+        return _run(args, out_dir, image_args)
+    finally:
+        if sampler:
+            sampler.stop()
+
+
+def _run(args: AppArgs, out_dir: str, image_args: list) -> int:
+    import jax.numpy as jnp
+
+    from sfm_mvs_pipeline_tpu.models.cameras import make_intrinsics
+    from sfm_mvs_pipeline_tpu.models.scene import Scene
+    from sfm_mvs_pipeline_tpu.ops.pairs import make_pairs
+    from sfm_mvs_pipeline_tpu.sfm.ba import BAConfig
+    from sfm_mvs_pipeline_tpu.sfm.incremental import SfMConfig, reconstruct
+    from sfm_mvs_pipeline_tpu.utils.images import (
+        colorize_points,
+        list_images,
+        load_gray_batch,
+    )
+    from sfm_mvs_pipeline_tpu.utils.ply import (
+        write_camera_frustums_ply,
+        write_ply_points,
+    )
+    from sfm_mvs_pipeline_tpu.utils.stats import write_reprojection_stats
+
+    # ---- enumerate images (dir or repeated files, sorted)
+    paths = []
+    for ia in image_args:
+        if os.path.isdir(ia):
+            paths.extend(list_images(ia))
+        else:
+            paths.append(ia)
+    log.info(f"{len(paths)} input images")
+    if len(paths) < 2:
+        log.error("need at least two images")
+        return 2
+
+    imgs, (w, h) = load_gray_batch(paths)
+
+    # ---- feature extraction
+    detector = args.get("feature-detector", "sift").lower()
+    feature_limit = min(args.get_int("feature-limit", 10000), 1 << 18)
+    log.info(f"extracting {detector} features (limit {feature_limit})")
+    if detector == "sift":
+        from sfm_mvs_pipeline_tpu.ops.sift import sift_features
+
+        feats = sift_features(
+            jnp.asarray(imgs),
+            max_features=_feature_cap(feature_limit, w, h),
+            contrast_threshold=0.09,  # ref: cv::SIFT::create(..., 0.09)
+        )
+        descs = np.asarray(feats["descriptors"])
+    elif detector == "orb":
+        from sfm_mvs_pipeline_tpu.ops.orb import orb_features
+        from sfm_mvs_pipeline_tpu.ops.matching import expand_binary_descriptors
+
+        feats = orb_features(
+            jnp.asarray(imgs), max_features=_feature_cap(feature_limit, w, h)
+        )
+        descs = np.asarray(expand_binary_descriptors(feats["descriptors"]))
+    else:
+        log.error(f"unknown feature detector: {detector}")
+        return 2
+    kps = np.asarray(feats["keypoints"])
+    valid = np.asarray(feats["valid"])
+    log.info(f"features per image: {[int(v.sum()) for v in valid]}")
+
+    # ---- scene + camera model
+    camera_model = args.get("camera-model", "simple-radial")
+    intr = np.asarray(make_intrinsics(w, h), np.float64)
+    scene = Scene.create(
+        paths, (w, h), kps, descs, valid, intr, camera_model=camera_model
+    )
+
+    # ---- pair policy (ref strategy selection PhotogrammetrieCli.cpp:320-340)
+    grid_len = args.get_int("feature-gridlength", 0)
+    seq = args.get_int("feature-sequence", 0)
+    if grid_len > 0:
+        pairs = make_pairs("grid", scene.n_shots, max(seq, 2), grid_len)
+        log.info(f"grid pairing: {len(pairs)} pairs")
+    elif seq > 0:
+        pairs = make_pairs("video", scene.n_shots, seq)
+        log.info(f"sequence pairing: {len(pairs)} pairs")
+    else:
+        pairs = make_pairs("unordered", scene.n_shots)
+        log.info(f"unordered pairing: {len(pairs)} pairs")
+
+    # ---- SfM
+    cfg = SfMConfig(
+        min_match_count=args.get_int("match-threshold", 20),
+        baseline_min_matches=args.get_int("baseline-homography-threshold", 100),
+        min_homography_inlier_ratio=args.get_float(
+            "homography-inlier-ratio-threshold", 0.5
+        ),
+        min_pose_inlier_ratio=args.get_float("pose-inlier-ratio-threshold", 0.5),
+        ransac_matching_threshold=args.get_float("ransac-matching-threshold", -3.0),
+        ransac_baseline_threshold=args.get_float("ransac-baseline-threshold", -1.0),
+        ransac_pose_threshold=args.get_float("ransac-pose-threshold", -8.0),
+        max_reprojection_error=args.get_float("reprojection-error-threshold", 10.0),
+        point_merge_distance=args.get_float("pointcloud-point-merge-distance", 0.01),
+        feature_merge_distance=args.get_float(
+            "pointcloud-feature-merge-distance", 20.0
+        ),
+        distinct_matches=args.is_flag("distinct-matches"),
+        ba=BAConfig(),
+    )
+    sfm_log = logging.AppLogger("SfM")
+    stats = reconstruct(scene, pairs, cfg, log=sfm_log.info)
+    log.info(f"SfM done: {stats}")
+    if stats.get("baseline") is None:
+        log.error("reconstruction failed: no baseline pair")
+        return 1
+
+    # ---- outputs (ref: runSfM artifact block PhotogrammetrieCli.cpp:113-137)
+    if args.is_flag("colored"):
+        colorize_points(scene)
+    live = scene.point_valid
+    write_ply_points(
+        os.path.join(out_dir, "pointcloud_sparse.ply"),
+        scene.points[live],
+        scene.colors[live] if args.is_flag("colored") else None,
+    )
+    rec = scene.recovered
+    write_camera_frustums_ply(
+        os.path.join(out_dir, "cameras_recovered.ply"),
+        scene.poses[rec],
+        scene.intrinsics[0],
+        (w, h),
+    )
+    if args.is_flag("stats"):
+        st = write_reprojection_stats(scene, out_dir)
+        log.info(f"reprojection error: mean {st['mean']:.3f} median {st['median']:.3f}")
+    if args.is_flag("artifacts"):
+        _write_artifacts(scene, out_dir)
+
+    # ---- dense MVS
+    if args.is_flag("dense"):
+        from sfm_mvs_pipeline_tpu.mvs.pipeline import MVSConfig, run_mvs
+
+        mvs_cfg = MVSConfig(
+            use_sgm=args.is_flag("sgm"),
+            mesh=args.is_flag("mesh"),
+            decimate=not args.is_flag("no-decimate"),
+            refine_mesh=args.is_flag("refine-mesh"),
+            keep_artifacts=args.is_flag("artifacts"),
+        )
+        run_mvs(scene, out_dir, mvs_cfg, log=logging.AppLogger("MVS").info)
+
+    log.info("done")
+    return 0
+
+
+def _feature_cap(limit: int, w: int, h: int) -> int:
+    """Static feature capacity: next power of two covering the limit, bounded
+    by a sane per-image cap."""
+    cap = 256
+    while cap < min(limit, 1 << 15):
+        cap *= 2
+    return cap
+
+
+def _write_artifacts(scene, out_dir: str) -> None:
+    """Debug artifacts: scene.txt dump (keypoint JPEGs parity comes with the
+    artifact pass; ref: PhotogrammetrieCli.cpp:139-219)."""
+    with open(os.path.join(out_dir, "scene.txt"), "w") as f:
+        f.write(f"shots: {scene.n_shots}\n")
+        f.write(f"points: {scene.n_points}\n")
+        f.write(f"observations: {scene.n_obs}\n")
+        f.write(f"intrinsics: {scene.intrinsics.tolist()}\n")
+        for s in range(scene.n_shots):
+            f.write(
+                f"shot {s}: {scene.image_paths[s]} recovered={bool(scene.recovered[s])} "
+                f"pose={scene.poses[s].round(6).tolist()}\n"
+            )

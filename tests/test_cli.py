@@ -1,0 +1,100 @@
+"""CLI smoke tests: arg parsing, pcl-stats round trip, PLY IO."""
+
+import os
+
+import numpy as np
+
+from sfm_mvs_pipeline_tpu.utils.args import AppArgs
+from sfm_mvs_pipeline_tpu.utils.ply import (
+    read_ply,
+    write_camera_frustums_ply,
+    write_ply_mesh,
+    write_ply_points,
+)
+from sfm_mvs_pipeline_tpu.utils.stats import calculate_statistics, knn_distances
+
+
+def test_appargs():
+    a = AppArgs(
+        ["-Prun=photogrammetrie", "-Pimage=a", "-Pimage=b", "--dense", "-Ploglevel=1"]
+    )
+    assert a.get("run") == "photogrammetrie"
+    assert a.get_all("image") == ["a", "b"]
+    assert a.get_count("image") == 2
+    assert a.is_flag("dense") and not a.is_flag("mesh")
+    assert a.get_int("loglevel", 2) == 1
+    assert a.get_float("missing", 3.5) == 3.5
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(50, 3))
+    cols = rng.integers(0, 255, size=(50, 4)).astype(np.uint8)
+    nrm = rng.normal(size=(50, 3))
+    p = str(tmp_path / "cloud.ply")
+    write_ply_points(p, pts, cols, nrm)
+    back = read_ply(p)
+    np.testing.assert_allclose(back["points"], pts, atol=1e-6)
+    np.testing.assert_array_equal(back["colors"], cols[:, :3])
+    np.testing.assert_allclose(back["normals"], nrm, atol=1e-6)
+
+
+def test_ply_mesh_roundtrip(tmp_path, rng):
+    v = rng.normal(size=(10, 3))
+    f = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+    p = str(tmp_path / "mesh.ply")
+    write_ply_mesh(p, v, f, colors=np.full((10, 3), 127, np.uint8))
+    back = read_ply(p)
+    np.testing.assert_allclose(back["points"], v, atol=1e-6)
+    np.testing.assert_array_equal(np.stack(back["faces"]), f)
+
+
+def test_camera_frustum_ply(tmp_path):
+    poses = np.zeros((2, 6))
+    poses[1, 3] = 1.0
+    p = str(tmp_path / "cams.ply")
+    write_camera_frustums_ply(
+        p, poses, np.array([500.0, 320, 240, 0, 0, 0, 0]), (640, 480)
+    )
+    back = read_ply(p)
+    assert len(back["points"]) == 2 * 5 + 6  # 5 verts/cam + axes
+    assert len(back["faces"]) == 2 * 8 + 3
+
+
+def test_statistics_match_numpy(rng):
+    v = rng.normal(size=1000)
+    st = calculate_statistics(v)
+    assert abs(st["mean"] - v.mean()) < 1e-12
+    assert abs(st["variance"] - v.var(ddof=1)) < 1e-12
+    assert abs(st["median"] - np.median(v)) < 1e-12
+
+
+def test_knn_distances(rng):
+    pts = rng.normal(size=(100, 3))
+    d = knn_distances(pts)
+    # oracle: brute force
+    dd = np.linalg.norm(pts[:, None] - pts[None], axis=2)
+    np.fill_diagonal(dd, np.inf)
+    np.testing.assert_allclose(d, dd.min(axis=1), rtol=1e-5)
+
+
+def test_pcl_stats_cli(tmp_path, rng):
+    from sfm_mvs_pipeline_tpu.cli.app import main
+
+    pts = rng.normal(size=(200, 3))
+    inp = str(tmp_path / "cloud.ply")
+    write_ply_points(inp, pts)
+    rc = main(["-Prun=pcl-stats", f"-Pinput={inp}", "-Ploglevel=4"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "cloud.stats.csv"))
+    assert os.path.exists(str(tmp_path / "cloud.neighbors.csv"))
+    assert os.path.exists(str(tmp_path / "cloud.quality.ply"))
+
+
+def test_cli_usage_and_dispatch(capsys):
+    from sfm_mvs_pipeline_tpu.cli.app import main
+
+    assert main(["--help"]) == 0
+    assert "subprogram" in capsys.readouterr().out
+    assert main(["-Prun=bogus"]) == 2
+    # photogrammetrie without images -> usage + error
+    assert main(["-Prun=photogrammetrie", "-Ploglevel=4"]) == 2
