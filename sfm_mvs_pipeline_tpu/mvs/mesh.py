@@ -1,0 +1,221 @@
+"""Surface reconstruction from fused depth maps + mesh cleanup.
+
+Covers the reference's meshing stage (ref: src/photogrammetrie/mvs/MVS.cpp:130-181:
+ReconstructMesh(2.5, ...), 3x mesh.Clean passes with decimation/hole-closing/
+smoothing, optional RefineMesh / TextureMesh) with a TPU-era formulation:
+
+  * per-view DEPTH-MAP TRIANGULATION: adjacent valid pixels connect into two
+    triangles per quad unless a depth discontinuity splits them — a dense,
+    fully-array-parallel operation (openMVS instead runs sequential Delaunay
+    tetra carving; that shape does not vectorize)
+  * cross-view merge by VERTEX CLUSTERING on a world-space grid (also the
+    decimation operator, standing in for openMVS decimate; --no-decimate
+    keeps the native resolution)
+  * LAPLACIAN SMOOTHING (k passes; ref smoothing factor 2, MVS.h:68)
+  * degenerate/duplicate-face removal (the Clean passes)
+
+Vertex colors come from the per-view images (per-vertex coloring; UV-atlas
+texturing is the --refine-mesh/texture long tail, MVS.cpp:175-178).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def depth_map_to_mesh(
+    depth: np.ndarray,  # (H, W)
+    valid: np.ndarray,  # (H, W)
+    pose: np.ndarray,  # (6,)
+    intr: np.ndarray,  # (7,)
+    rgb: np.ndarray | None = None,  # (H, W, 3)
+    max_depth_ratio: float = 0.05,
+    stride: int = 1,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Triangulate one view's depth map. Returns (vertices, faces, colors)."""
+    import jax.numpy as jnp
+
+    from sfm_mvs_pipeline_tpu.mvs.fusion import unproject_depth
+
+    d = depth[::stride, ::stride]
+    v = valid[::stride, ::stride]
+    h, w = d.shape
+    intr_s = intr.copy()
+    intr_s[:3] = intr[:3] / stride
+    pts, _ = unproject_depth(
+        jnp.asarray(d), jnp.asarray(v), jnp.asarray(pose), jnp.asarray(intr_s)
+    )
+    pts = np.asarray(pts).reshape(h, w, 3)
+
+    idx = np.arange(h * w).reshape(h, w)
+    a = idx[:-1, :-1]
+    b = idx[:-1, 1:]
+    c = idx[1:, :-1]
+    e = idx[1:, 1:]
+    va = v[:-1, :-1]
+    vb = v[:-1, 1:]
+    vc = v[1:, :-1]
+    ve = v[1:, 1:]
+    da = d[:-1, :-1]
+    db = d[:-1, 1:]
+    dc = d[1:, :-1]
+    de = d[1:, 1:]
+
+    def smooth(x, y):
+        m = np.minimum(x, y)
+        return np.abs(x - y) <= max_depth_ratio * np.maximum(m, 1e-9)
+
+    t1_ok = va & vb & vc & smooth(da, db) & smooth(da, dc) & smooth(db, dc)
+    t2_ok = vb & ve & vc & smooth(db, de) & smooth(db, dc) & smooth(de, dc)
+    f1 = np.stack([a[t1_ok], c[t1_ok], b[t1_ok]], axis=1)
+    f2 = np.stack([b[t2_ok], c[t2_ok], e[t2_ok]], axis=1)
+    faces = np.concatenate([f1, f2])
+
+    verts = pts.reshape(-1, 3)
+    cols = None
+    if rgb is not None:
+        cols = rgb[::stride, ::stride].reshape(-1, 3)
+    # compact to used vertices
+    used = np.unique(faces)
+    remap = np.full(h * w, -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces], (cols[used] if cols is not None else None)
+
+
+def cluster_vertices(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None,
+    cell: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Vertex-clustering merge/decimation on a world grid of size `cell`."""
+    if len(vertices) == 0:
+        return vertices, faces, colors
+    keys = np.floor(vertices / cell).astype(np.int64)
+    # hash grid cells
+    _, inv, counts = np.unique(
+        keys, axis=0, return_inverse=True, return_counts=True
+    )
+    n_clusters = counts.shape[0]
+    acc = np.zeros((n_clusters, 3))
+    np.add.at(acc, inv, vertices)
+    new_verts = acc / counts[:, None]
+    new_cols = None
+    if colors is not None:
+        cacc = np.zeros((n_clusters, 3))
+        np.add.at(cacc, inv, colors.astype(np.float64))
+        new_cols = np.clip(cacc / counts[:, None], 0, 255).astype(np.uint8)
+    new_faces = inv[faces]
+    # drop degenerate + duplicate faces (the Clean pass)
+    ok = (
+        (new_faces[:, 0] != new_faces[:, 1])
+        & (new_faces[:, 1] != new_faces[:, 2])
+        & (new_faces[:, 0] != new_faces[:, 2])
+    )
+    new_faces = new_faces[ok]
+    key = np.sort(new_faces, axis=1)
+    _, uniq = np.unique(key, axis=0, return_index=True)
+    return new_verts, new_faces[np.sort(uniq)], new_cols
+
+
+def laplacian_smooth(
+    vertices: np.ndarray, faces: np.ndarray, iterations: int = 2, lam: float = 0.5
+) -> np.ndarray:
+    """Uniform Laplacian smoothing (ref smoothing factor 2, MVS.h:68)."""
+    if len(vertices) == 0 or len(faces) == 0:
+        return vertices
+    v = vertices.copy()
+    e = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]],
+         faces[:, [1, 0]], faces[:, [2, 1]], faces[:, [0, 2]]]
+    )
+    for _ in range(iterations):
+        acc = np.zeros_like(v)
+        cnt = np.zeros(len(v))
+        np.add.at(acc, e[:, 0], v[e[:, 1]])
+        np.add.at(cnt, e[:, 0], 1.0)
+        has = cnt > 0
+        mean = np.where(has[:, None], acc / np.maximum(cnt, 1)[:, None], v)
+        v = v + lam * (mean - v)
+    return v
+
+
+def remove_small_components(
+    vertices: np.ndarray, faces: np.ndarray, colors, min_faces: int = 50
+):
+    """Drop small disconnected islands (part of the Clean behavior)."""
+    if len(faces) == 0:
+        return vertices, faces, colors
+    parent = np.arange(len(vertices))
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for f in faces:
+        a, b, c = (int(x) for x in f)
+        ra, rb, rc = find(a), find(b), find(c)
+        parent[rb] = ra
+        parent[rc] = ra
+    roots = np.array([find(int(f[0])) for f in faces])
+    uniq, counts = np.unique(roots, return_counts=True)
+    big = set(uniq[counts >= min_faces].tolist())
+    keep = np.array([r in big for r in roots])
+    faces = faces[keep]
+    used = np.unique(faces)
+    remap = np.full(len(vertices), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return (
+        vertices[used],
+        remap[faces],
+        colors[used] if colors is not None else None,
+    )
+
+
+def mesh_from_depth_maps(
+    depth_maps: np.ndarray,
+    valids: np.ndarray,
+    poses: np.ndarray,
+    intr: np.ndarray,
+    rgbs: np.ndarray | None = None,
+    decimate: bool = True,
+    smooth_iters: int = 2,
+    log=lambda *a: None,
+) -> dict:
+    """Full meshing pass over all views."""
+    all_v, all_f, all_c = [], [], []
+    off = 0
+    for i in range(len(depth_maps)):
+        if not valids[i].any():
+            continue
+        v, f, c = depth_map_to_mesh(
+            depth_maps[i], valids[i], poses[i], intr,
+            rgbs[i] if rgbs is not None else None,
+        )
+        all_v.append(v)
+        all_f.append(f + off)
+        if c is not None:
+            all_c.append(c)
+        off += len(v)
+    if not all_v:
+        return {"vertices": np.zeros((0, 3)), "faces": np.zeros((0, 3), int)}
+    V = np.concatenate(all_v)
+    F = np.concatenate(all_f)
+    C = np.concatenate(all_c) if all_c else None
+    log(f"raw mesh: {len(V)} verts, {len(F)} faces")
+
+    # merge/decimate cell: median NN scale of the vertex soup
+    bbox = V.max(0) - V.min(0)
+    target = 1.5e-3 if decimate else 5e-4
+    cell = float(np.linalg.norm(bbox)) * target * (4 if decimate else 1)
+    V, F, C = cluster_vertices(V, F, C, max(cell, 1e-9))
+    log(f"clustered: {len(V)} verts, {len(F)} faces (cell {cell:.4g})")
+
+    V, F, C = remove_small_components(V, F, C)
+    V = laplacian_smooth(V, F, smooth_iters)
+    log(f"cleaned: {len(V)} verts, {len(F)} faces")
+    return {"vertices": V, "faces": F, "colors": C}

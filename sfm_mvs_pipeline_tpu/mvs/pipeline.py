@@ -1,0 +1,202 @@
+"""Dense MVS orchestration: undistort -> ladder -> depth maps -> fuse -> mesh.
+
+Mirrors MVS::densifyScene / MVS::meshScene orchestration
+(ref: src/photogrammetrie/mvs/MVS.cpp:100-181) and the exporter's
+undistorted-image handoff (ref: src/photogrammetrie/util/OpenMvsUtils.cpp:136-152):
+  * resolution ladder bounds: max 3200 / min 640 (ref: MVS.h:60-61)
+  * 5 neighbor views (ref: MVS.h:58)
+  * 3-view fusion inliers (ref: MVS.h:62)
+  * plane-sweep default, SGM with --sgm (ref: MVS.cpp:112-120)
+  * meshing + cleanup + optional refine/texture (ref: MVS.cpp:130-181)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class MVSConfig:
+    max_resolution: int = 3200
+    min_resolution: int = 640
+    n_neighbors: int = 5
+    n_planes: int = 96
+    window_radius: int = 3
+    max_cost: float = 0.35
+    min_fusion_views: int = 3
+    fusion_tolerance: float = 0.01
+    use_sgm: bool = False
+    sgm_p1: float = 0.03
+    sgm_p2: float = 0.3
+    mesh: bool = False
+    decimate: bool = True
+    refine_mesh: bool = False
+    keep_artifacts: bool = False
+
+
+def _undistort_image(img: np.ndarray, intr: np.ndarray) -> np.ndarray:
+    """Resample an image so straight lines are straight under pinhole K.
+
+    For each undistorted target pixel: normalized -> distort -> source pixel
+    (the same mapping cv2.initUndistortRectifyMap builds; the reference
+    exports undistorted PNGs the same way, OpenMvsUtils.cpp:136-150)."""
+    from sfm_mvs_pipeline_tpu.models.cameras import (
+        distort_normalized,
+        normalized_to_pixels,
+        pixels_to_normalized,
+    )
+    from sfm_mvs_pipeline_tpu.mvs.plane_sweep import _bilinear_hw
+
+    h, w = img.shape[:2]
+    intr_d = jnp.asarray(intr, jnp.float32)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    uv = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
+    xy = pixels_to_normalized(intr_d, uv)  # undistorted normalized (target)
+    src = normalized_to_pixels(intr_d, distort_normalized(intr_d, xy)).reshape(
+        h, w, 2
+    )
+    if img.ndim == 2:
+        out, _ = _bilinear_hw(jnp.asarray(img, jnp.float32), src[..., 0], src[..., 1])
+        return np.asarray(out)
+    chans = [
+        np.asarray(
+            _bilinear_hw(
+                jnp.asarray(img[..., c], jnp.float32), src[..., 0], src[..., 1]
+            )[0]
+        )
+        for c in range(img.shape[2])
+    ]
+    return np.stack(chans, axis=-1)
+
+
+def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: None) -> dict:
+    """Densify (and optionally mesh) a reconstructed scene. Writes
+    pointcloud_dense.ply (+ mesh_dense.ply) into out_dir. Returns results."""
+    import cv2
+
+    from sfm_mvs_pipeline_tpu.mvs.fusion import fuse_depth_maps
+    from sfm_mvs_pipeline_tpu.mvs.neighbors import depth_range, select_neighbors
+    from sfm_mvs_pipeline_tpu.mvs.plane_sweep import (
+        make_depth_planes,
+        sweep_cost_volume,
+        wta_depth,
+    )
+    from sfm_mvs_pipeline_tpu.utils.images import load_rgb
+    from sfm_mvs_pipeline_tpu.utils.ply import write_ply_points
+
+    cfg = cfg or MVSConfig()
+    rec = [int(s) for s in np.nonzero(scene.recovered)[0]]
+    if len(rec) < 2:
+        log("not enough recovered views for densification")
+        return {}
+    w0, h0 = scene.image_size
+    intr0 = scene.intrinsics[0]
+
+    # resolution ladder (ref: resetImageResoloution semantics)
+    scale = 1.0
+    if max(w0, h0) > cfg.max_resolution:
+        scale = cfg.max_resolution / max(w0, h0)
+    elif max(w0, h0) < cfg.min_resolution:
+        scale = 1.0  # never upsample beyond native
+    w = int(round(w0 * scale))
+    h = int(round(h0 * scale))
+    intr = intr0.copy()
+    intr[:3] *= scale
+    intr_pinhole = intr.copy()
+    intr_pinhole[3:] = 0.0  # images get undistorted below
+
+    log(f"densifying {len(rec)} views at {w}x{h} "
+        f"({'SGM' if cfg.use_sgm else 'plane-sweep'}, {cfg.n_planes} planes)")
+
+    grays, rgbs = [], []
+    for s in rec:
+        rgb = load_rgb(scene.image_paths[s], (w0, h0))
+        if scale != 1.0:
+            rgb = cv2.resize(rgb, (w, h), interpolation=cv2.INTER_AREA)
+        rgb_u = _undistort_image(rgb, intr)
+        gray = cv2.cvtColor(rgb_u.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        grays.append(gray.astype(np.float32) / 255.0)
+        rgbs.append(rgb_u.astype(np.uint8))
+    grays = np.stack(grays)
+    rgbs = np.stack(rgbs)
+
+    neighbors = select_neighbors(scene, cfg.n_neighbors)
+    idx_of = {s: i for i, s in enumerate(rec)}
+
+    depth_maps = np.zeros((len(rec), h, w), np.float32)
+    valids = np.zeros((len(rec), h, w), bool)
+    poses = scene.poses[rec].astype(np.float32)
+
+    for i, s in enumerate(rec):
+        nbrs = [idx_of[n] for n in neighbors.get(s, []) if n in idx_of]
+        if not nbrs:
+            log(f"view {s}: no neighbors, skipped")
+            continue
+        z_lo, z_hi = depth_range(scene, s)
+        planes = make_depth_planes(z_lo, z_hi, cfg.n_planes).astype(np.float32)
+        cv = sweep_cost_volume(
+            jnp.asarray(grays[i]),
+            jnp.asarray(grays[nbrs]),
+            jnp.asarray(poses[i]),
+            jnp.asarray(poses[nbrs]),
+            jnp.asarray(intr_pinhole, jnp.float32),
+            jnp.asarray(planes),
+            window_radius=cfg.window_radius,
+        )
+        if cfg.use_sgm:
+            from sfm_mvs_pipeline_tpu.mvs.sgm import sgm_aggregate
+
+            cv = sgm_aggregate(cv, cfg.sgm_p1, cfg.sgm_p2)
+        depth, cost, valid = wta_depth(cv, jnp.asarray(planes), cfg.max_cost)
+        depth_maps[i] = np.asarray(depth)
+        valids[i] = np.asarray(valid)
+        log(
+            f"view {s}: depth range [{z_lo:.2f}, {z_hi:.2f}], "
+            f"{int(valids[i].sum())}/{h*w} valid px"
+        )
+        if cfg.keep_artifacts:
+            np.save(os.path.join(out_dir, f"depth_{s:04d}.npy"), depth_maps[i])
+
+    fused = fuse_depth_maps(
+        depth_maps, valids, poses, intr_pinhole.astype(np.float32), rgbs,
+        min_views=cfg.min_fusion_views, rel_tolerance=cfg.fusion_tolerance,
+        log=log,
+    )
+    log(f"fused dense cloud: {len(fused['points'])} points")
+    write_ply_points(
+        os.path.join(out_dir, "pointcloud_dense.ply"),
+        fused["points"],
+        fused["colors"],
+        fused["normals"],
+    )
+
+    results = {"dense": fused, "depth_maps": depth_maps, "valids": valids}
+    if cfg.mesh:
+        from sfm_mvs_pipeline_tpu.mvs.mesh import mesh_from_depth_maps
+
+        mesh = mesh_from_depth_maps(
+            depth_maps, valids, poses, intr_pinhole.astype(np.float32), rgbs,
+            decimate=cfg.decimate, log=log,
+        )
+        from sfm_mvs_pipeline_tpu.utils.ply import write_ply_mesh
+
+        write_ply_mesh(
+            os.path.join(out_dir, "mesh_dense.ply"),
+            mesh["vertices"],
+            mesh["faces"],
+            colors=mesh.get("colors"),
+        )
+        log(
+            f"mesh: {len(mesh['vertices'])} vertices, {len(mesh['faces'])} faces"
+        )
+        results["mesh"] = mesh
+    return results
