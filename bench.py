@@ -1,0 +1,121 @@
+"""Headline benchmark: descriptor-matching throughput on TPU vs the
+reference's actual matcher implementation (OpenCV BFMatcher knnMatch, the
+hot loop of UnorderedFeatureMatchingStrategy.cpp:50-65 / SURVEY.md §3.2 #1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value       = image pairs matched per second on one TPU chip
+              (8192x8192 descriptors, 128-d f32, full 2-NN + ratio test)
+vs_baseline = speedup over cv2.BFMatcher.knnMatch(k=2) on the same data on
+              this host's CPU (measured live each run).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+F, D = 8192, 128
+TPU_ITERS = 30
+RETRIES = 3
+
+
+def _bench_tpu(dq, dt_arr):
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_mvs_pipeline_tpu.ops.matching import ratio_test_mask
+    from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import two_nn_pallas
+
+    dq_d = jnp.asarray(dq)
+    dt_d = jnp.asarray(dt_arr)
+    vq = jnp.ones(F, bool)
+    vt = jnp.ones(F, bool)
+    jax.block_until_ready((dq_d, dt_d))
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def run():
+        if use_pallas:
+            idx, best, second = two_nn_pallas(dq_d, dt_d, vq, vt)
+        else:
+            from sfm_mvs_pipeline_tpu.ops.matching import two_nn_jnp
+
+            idx, best, second = two_nn_jnp(dq_d, dt_d, vq, vt)
+        return idx, ratio_test_mask(best, second, vq)
+
+    idx, mask = run()
+    jax.block_until_ready(mask)  # compile
+    t0 = time.perf_counter()
+    for _ in range(TPU_ITERS):
+        idx, mask = run()
+    jax.block_until_ready(mask)
+    dt_s = (time.perf_counter() - t0) / TPU_ITERS
+    return 1.0 / dt_s, int(np.asarray(mask).sum())
+
+
+def _bench_cv(dq, dt_arr):
+    import cv2
+
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+    t0 = time.perf_counter()
+    knn = bf.knnMatch(dq, dt_arr, k=2)
+    dt_s = time.perf_counter() - t0
+    n = sum(
+        1 for m2 in knn if len(m2) == 2 and m2[0].distance < 0.7 * m2[1].distance
+    )
+    return 1.0 / dt_s, n
+
+
+def main() -> int:
+    rng = np.random.default_rng(0)
+    dq = np.abs(rng.normal(size=(F, D))).astype(np.float32)
+    dt_arr = np.abs(rng.normal(size=(F, D))).astype(np.float32)
+    # plant correspondences so the ratio test has real matches to pass
+    dt_arr[: F // 4] = dq[: F // 4] + rng.normal(
+        size=(F // 4, D)
+    ).astype(np.float32) * 0.01
+
+    cv_rate, cv_matches = _bench_cv(dq, dt_arr)
+
+    last_err = None
+    for attempt in range(RETRIES):
+        try:
+            tpu_rate, tpu_matches = _bench_tpu(dq, dt_arr)
+            break
+        except Exception as e:  # tunnel flake: retry
+            last_err = e
+            time.sleep(20)
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "matched_pairs_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": f"pairs/s ({F}x{F}x{D} 2-NN+ratio)",
+                    "vs_baseline": 0.0,
+                    "error": str(last_err),
+                }
+            )
+        )
+        return 1
+
+    print(
+        json.dumps(
+            {
+                "metric": "matched_pairs_per_s_per_chip",
+                "value": round(tpu_rate, 2),
+                "unit": f"pairs/s ({F}x{F}x{D} 2-NN+ratio; cv2 BF={cv_rate:.2f}/s)",
+                "vs_baseline": round(tpu_rate / cv_rate, 1),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

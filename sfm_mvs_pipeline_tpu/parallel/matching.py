@@ -1,0 +1,62 @@
+"""Pair-sharded descriptor matching over a device mesh.
+
+The data-parallel axis of the SfM frontend: the candidate pair list is
+sharded across chips with shard_map; descriptors are replicated (they are
+small next to the O(F^2) distance work). Each chip runs the same batched
+2-NN + ratio kernel on its pair shard — no cross-chip communication needed
+until results are gathered.
+
+This is the TPU equivalent of the reference's OMP-parallel pair loop
+(ref: src/photogrammetrie/sfm/UnorderedFeatureMatchingStrategy.cpp:40) and
+the sharding axis named in BASELINE.md ("matched pairs/s/chip at 1 chip /
+1 host / >=2 hosts").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from sfm_mvs_pipeline_tpu.ops.matching import match_pair
+from sfm_mvs_pipeline_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
+
+
+def match_pairs_sharded(
+    mesh,
+    descriptors: np.ndarray,  # (S, F, D)
+    valid: np.ndarray,  # (S, F)
+    pairs: np.ndarray,  # (P, 2)
+    ratio: float = 0.7,
+    distinct: bool = False,
+    backend: str = "auto",
+    chunk: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Match pairs across the mesh. Returns (best_idx (P, F), mask (P, F))."""
+    n_dev = mesh.devices.size
+    P_orig = len(pairs)
+    pairs_p = pad_to_multiple(np.asarray(pairs, np.int32), n_dev)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    def go(descs, val, prs):
+        def one(pair):
+            return match_pair(
+                descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
+                ratio=ratio, distinct=distinct, backend=backend,
+            )
+
+        return jax.lax.map(one, prs, batch_size=chunk)
+
+    idx, mask = jax.jit(go)(
+        jnp.asarray(descriptors), jnp.asarray(valid), jnp.asarray(pairs_p)
+    )
+    return np.asarray(idx)[:P_orig], np.asarray(mask)[:P_orig]

@@ -157,8 +157,7 @@ def _inv3x3(M):
     return adj / det[..., None, None]
 
 
-@partial(jax.jit, static_argnames=("n_shots", "n_cams"))
-def ba_build_reduced(
+def ba_build_core(
     points,
     poses,
     intr,
@@ -167,18 +166,26 @@ def ba_build_reduced(
     obs_shot,
     obs_uv,
     obs_w,
-    track_tab,  # (P, L) int32, -1 pad
+    track_tab,  # (P, L) int32, -1 pad, LOCAL obs indices
     lam,
     intr_mask,  # (C, 7) f32 — per-camera optimizable-intrinsics mask
     pose_free,  # (S,) f32 — 1 where the shot pose is optimized
     n_shots: int,
     n_cams: int,
+    axis_name: str | None = None,
 ):
-    """Assemble the Schur-reduced camera system.
+    """Assemble the Schur-reduced camera system (single-shard body).
 
     Returns (S_red (D, D), rhs_red (D,), Bp (P,3,3), gp (P,3), cost) where
     D = 6*n_shots + 7*n_cams and the reduced system is
        S_red @ dcam = rhs_red      (note: rhs already includes the -g sign)
+
+    When `axis_name` is given the function runs inside shard_map with
+    observations AND points sharded (observations grouped by point so the
+    track table is shard-local); the camera system, rhs and cost are
+    psum-reduced over the axis while Bp/gp stay shard-local. This is the
+    distributed DENSE_SCHUR of SURVEY.md §2.7: points model-parallel, the
+    reduced camera Hessian all-reduced over ICI.
     """
     P = points.shape[0]
     D = 6 * n_shots + 7 * n_cams
@@ -249,10 +256,6 @@ def ba_build_reduced(
 
     g_full = jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
 
-    # LM damping on camera diagonal
-    diagH = jnp.diagonal(Hcc)
-    Hcc = Hcc + jnp.diag(lam * jnp.maximum(diagH, 1e-8))
-
     # ---- point blocks + Schur correction, chunk-scanned over points
     # All point-side reductions (Hpp, gp) use TRACK-TABLE GATHERS rather than
     # segment_sum scatters — gathers vectorize on TPU. Exactness requires the
@@ -308,17 +311,34 @@ def ba_build_reduced(
         )
         return (S_acc + S_corr, rhs_acc + rhs_corr), (Bp_c, gp_c)
 
-    (S_corr, rhs_corr), (Bp_all, gp_all) = jax.lax.scan(
-        chunk_body,
-        (jnp.zeros((D, D), dt), jnp.zeros((D,), dt)),
-        tab,
-    )
+    init = (jnp.zeros((D, D), dt), jnp.zeros((D,), dt))
+    if axis_name is not None:
+        # under shard_map the carry becomes device-varying; mark the init so
+        init = jax.lax.pvary(init, (axis_name,))
+    (S_corr, rhs_corr), (Bp_all, gp_all) = jax.lax.scan(chunk_body, init, tab)
     Bp = Bp_all.reshape(-1, 3, 3)[:P]
     gp = gp_all.reshape(-1, 3)[:P]
+
+    if axis_name is not None:
+        # distributed reduction of the camera system over the mesh axis
+        Hcc = jax.lax.psum(Hcc, axis_name)
+        g_full = jax.lax.psum(g_full, axis_name)
+        S_corr = jax.lax.psum(S_corr, axis_name)
+        rhs_corr = jax.lax.psum(rhs_corr, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+
+    # LM damping on the (globally reduced) camera diagonal
+    diagH = jnp.diagonal(Hcc)
+    Hcc = Hcc + jnp.diag(lam * jnp.maximum(diagH, 1e-8))
 
     S_red = Hcc - S_corr
     rhs_red = -g_full + rhs_corr
     return S_red, rhs_red, Bp, gp, cost, Wc, Wi
+
+
+ba_build_reduced = partial(
+    jax.jit, static_argnames=("n_shots", "n_cams", "axis_name")
+)(ba_build_core)
 
 
 def _diag_embed(d):
