@@ -1,0 +1,9 @@
+#!/bin/bash
+# Mirrors the reference experiment script of the same name
+# (/root/reference/run-scripts/run-unordered-featurelimit.sh).
+
+echo "python -m sfm_mvs_pipeline_tpu --forceColoredOutput -Ploglevel=2 -Prun=photogrammetrie -Pimage=./images -Pout=./reconstruction -Pcamera-model=SimpleRadial -Pfeature-detector=SIFT -Pomp-feature-threads=8 -Pfeature-limit=30000 -Pfeature-matcher=BF --colored --dense --mesh --stats --artifacts" > run.log
+
+python -m sfm_mvs_pipeline_tpu --forceColoredOutput -Ploglevel=2 -Prun=photogrammetrie -Pimage=./images -Pout=./reconstruction -Pcamera-model=SimpleRadial -Pfeature-detector=SIFT -Pomp-feature-threads=8 -Pfeature-limit=30000 -Pfeature-matcher=BF --colored --dense --mesh --stats --artifacts | tee out.log
+
+./run-pcl-stats.sh

@@ -41,6 +41,7 @@ def print_usage() -> None:
   -Ppointcloud-point-merge-distance=X    (default 0.01)
   -Ppointcloud-feature-merge-distance=X  (default 20)
   -Pomp-feature-threads=N            (accepted for compat; batching replaces it)
+  -Presume=<scene.npz>               skip SfM, resume from a scene checkpoint
   --distinct-matches                 drop ambiguous (shared-target) matches
   --colored                          colorize the sparse cloud
   --dense                            run dense MVS
@@ -68,7 +69,7 @@ def main(args: AppArgs) -> int:
 
     out_dir = args.get("out", "out")
     image_args = args.get_all("image")
-    if not image_args:
+    if not image_args and not args.get("resume"):
         log.error("no -Pimage given")
         print_usage()
         return 2
@@ -90,6 +91,9 @@ def main(args: AppArgs) -> int:
 
 
 def _run(args: AppArgs, out_dir: str, image_args: list) -> int:
+    resume = args.get("resume")
+    if resume:
+        return _run_resumed(args, out_dir, resume)
     import jax.numpy as jnp
 
     from sfm_mvs_pipeline_tpu.models.cameras import make_intrinsics
@@ -122,7 +126,8 @@ def _run(args: AppArgs, out_dir: str, image_args: list) -> int:
 
     imgs, (w, h) = load_gray_batch(paths)
 
-    # ---- feature extraction
+    # ---- feature extraction (reference-style aliases accepted:
+    # SIFT/ORB, BF/FLANN, Simple/SimpleRadial/Distortion)
     detector = args.get("feature-detector", "sift").lower()
     feature_limit = min(args.get_int("feature-limit", 10000), 1 << 18)
     log.info(f"extracting {detector} features (limit {feature_limit})")
@@ -151,7 +156,9 @@ def _run(args: AppArgs, out_dir: str, image_args: list) -> int:
     log.info(f"features per image: {[int(v.sum()) for v in valid]}")
 
     # ---- scene + camera model
-    camera_model = args.get("camera-model", "simple-radial")
+    camera_model = _normalize_camera_model(
+        args.get("camera-model", "simple-radial")
+    )
     intr = np.asarray(make_intrinsics(w, h), np.float64)
     scene = Scene.create(
         paths, (w, h), kps, descs, valid, intr, camera_model=camera_model
@@ -187,6 +194,9 @@ def _run(args: AppArgs, out_dir: str, image_args: list) -> int:
             "pointcloud-feature-merge-distance", 20.0
         ),
         distinct_matches=args.is_flag("distinct-matches"),
+        matcher_method=(
+            "flann" if args.get("feature-matcher", "bf").lower() == "flann" else "bf"
+        ),
         ba=BAConfig(),
     )
     sfm_log = logging.AppLogger("SfM")
@@ -217,6 +227,11 @@ def _run(args: AppArgs, out_dir: str, image_args: list) -> int:
         log.info(f"reprojection error: mean {st['mean']:.3f} median {st['median']:.3f}")
     if args.is_flag("artifacts"):
         _write_artifacts(scene, out_dir)
+    # durable scene checkpoint (the reference's re-runnable mvs.bin handoff,
+    # kept unconditionally since it is cheap and enables -Presume=)
+    from sfm_mvs_pipeline_tpu.utils.checkpoint import save_scene
+
+    save_scene(scene, os.path.join(out_dir, "scene.npz"))
 
     # ---- dense MVS
     if args.is_flag("dense"):
@@ -257,3 +272,68 @@ def _write_artifacts(scene, out_dir: str) -> None:
                 f"shot {s}: {scene.image_paths[s]} recovered={bool(scene.recovered[s])} "
                 f"pose={scene.poses[s].round(6).tolist()}\n"
             )
+
+
+def _run_resumed(args: AppArgs, out_dir: str, resume_path: str) -> int:
+    """Resume from a scene checkpoint: re-run exports and/or dense MVS
+    without repeating SfM (reference mvs.bin parity)."""
+    from sfm_mvs_pipeline_tpu.utils.checkpoint import load_scene
+    from sfm_mvs_pipeline_tpu.utils.images import colorize_points
+    from sfm_mvs_pipeline_tpu.utils.ply import (
+        write_camera_frustums_ply,
+        write_ply_points,
+    )
+
+    scene = load_scene(resume_path)
+    log.info(
+        f"resumed scene: {scene.n_shots} shots, {scene.n_points} points, "
+        f"{scene.n_obs} observations"
+    )
+    if args.is_flag("colored"):
+        colorize_points(scene)
+    live = scene.point_valid
+    write_ply_points(
+        os.path.join(out_dir, "pointcloud_sparse.ply"),
+        scene.points[live],
+        scene.colors[live] if args.is_flag("colored") else None,
+    )
+    write_camera_frustums_ply(
+        os.path.join(out_dir, "cameras_recovered.ply"),
+        scene.poses[scene.recovered],
+        scene.intrinsics[0],
+        scene.image_size,
+    )
+    if args.is_flag("dense"):
+        from sfm_mvs_pipeline_tpu.mvs.pipeline import MVSConfig, run_mvs
+
+        mvs_cfg = MVSConfig(
+            use_sgm=args.is_flag("sgm"),
+            mesh=args.is_flag("mesh"),
+            decimate=not args.is_flag("no-decimate"),
+            refine_mesh=args.is_flag("refine-mesh"),
+            keep_artifacts=args.is_flag("artifacts"),
+        )
+        run_mvs(scene, out_dir, mvs_cfg, log=logging.AppLogger("MVS").info)
+    log.info("done")
+    return 0
+
+
+_CAMERA_ALIASES = {
+    "simple": "simple", "simpleradial": "simple-radial",
+    "simple-radial": "simple-radial", "distortion": "distortion",
+    "fixed": "fixed",
+}
+
+
+def _normalize_camera_model(name: str) -> str:
+    """Accept the reference run-script spellings (SimpleRadial, Simple,
+    Distortion; ref: run-scripts/run-grid-flann.sh)."""
+    key = name.replace("_", "").replace("-", "").lower()
+    key2 = name.lower()
+    if key2 in _CAMERA_ALIASES:
+        return _CAMERA_ALIASES[key2]
+    if key in _CAMERA_ALIASES:
+        return _CAMERA_ALIASES[key]
+    if key == "simpleradial":
+        return "simple-radial"
+    raise ValueError(f"unknown camera model: {name}")

@@ -72,6 +72,51 @@ def two_nn_jnp(
     return best_idx, best, second
 
 
+def two_nn_approx(
+    desc_q: jax.Array,
+    desc_t: jax.Array,
+    valid_q: jax.Array,
+    valid_t: jax.Array,
+    proj_dim: int = 16,
+    shortlist: int = 32,
+    seed: int = 7,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Approximate 2-NN — the TPU-native stand-in for the reference's FLANN
+    matcher option (KDTree/LSH; ref: src/cli/PhotogrammetrieCli.cpp:366-383).
+
+    Trees and hash probes serialize badly on TPU; the equivalent
+    accuracy/speed trade ("cascade hashing" family, cf. PAPERS.md) that stays
+    on the MXU: (1) project descriptors to `proj_dim` dims with a fixed
+    seeded random rotation, (2) shortlist `shortlist` candidates per query
+    from the cheap low-dim distances, (3) exact distances on the shortlist
+    only. Cost drops ~D/proj_dim for the sweep + shortlist/F for the rerank.
+    """
+    d = desc_q.shape[1]
+    key = jax.random.key(seed)
+    R = jax.random.normal(key, (d, proj_dim), dtype=jnp.float32) / np.sqrt(d)
+    pq = desc_q.astype(jnp.float32) @ R
+    pt = desc_t.astype(jnp.float32) @ R
+
+    dlow = _sq_distance_matrix(pq, pt)
+    dlow = jnp.where(valid_t[None, :], dlow, _BIG)
+    _, cand = jax.lax.top_k(-dlow, shortlist)  # (Fq, S)
+
+    # exact rerank on the shortlist
+    dt_c = desc_t[cand]  # (Fq, S, D)
+    qn = jnp.sum(desc_q * desc_q, axis=-1)
+    tn = jnp.sum(dt_c * dt_c, axis=-1)
+    dot = jnp.einsum(
+        "fd,fsd->fs", desc_q, dt_c, preferred_element_type=jnp.float32
+    )
+    dist = jnp.maximum(qn[:, None] + tn - 2.0 * dot, 0.0)
+    dist = jnp.where(valid_t[cand], dist, _BIG)
+    neg2, idx2 = jax.lax.top_k(-dist, 2)
+    best_idx = jnp.take_along_axis(cand, idx2[:, :1], axis=1)[:, 0]
+    best = jnp.where(valid_q, -neg2[:, 0], _BIG)
+    second = -neg2[:, 1]
+    return best_idx, best, second
+
+
 def ratio_test_mask(
     best_sq: jax.Array,
     second_sq: jax.Array,
@@ -109,21 +154,32 @@ def match_pair(
     ratio: float = 0.7,
     distinct: bool = False,
     backend: Literal["jnp", "pallas", "auto"] = "auto",
+    method: Literal["bf", "flann"] = "bf",
 ) -> tuple[jax.Array, jax.Array]:
     """Match one descriptor set against another.
 
     Returns (best_idx (Fq,) int32, mask (Fq,) bool): query i matches target
     best_idx[i] where mask[i]. Matches the semantics of the reference's
-    knnMatch + ratio(0.7) (+ optional distinct filter).
+    knnMatch + ratio(0.7) (+ optional distinct filter). method="flann"
+    selects the approximate shortlist path (two_nn_approx).
     """
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-    if backend == "pallas":
-        from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import two_nn_pallas
-
-        best_idx, best_sq, second_sq = two_nn_pallas(desc_q, desc_t, valid_q, valid_t)
+    if method == "flann":
+        best_idx, best_sq, second_sq = two_nn_approx(
+            desc_q, desc_t, valid_q, valid_t
+        )
     else:
-        best_idx, best_sq, second_sq = two_nn_jnp(desc_q, desc_t, valid_q, valid_t)
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if backend == "pallas":
+            from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import two_nn_pallas
+
+            best_idx, best_sq, second_sq = two_nn_pallas(
+                desc_q, desc_t, valid_q, valid_t
+            )
+        else:
+            best_idx, best_sq, second_sq = two_nn_jnp(
+                desc_q, desc_t, valid_q, valid_t
+            )
     mask = ratio_test_mask(best_sq, second_sq, valid_q, ratio)
     if distinct:
         mask = distinct_filter(best_idx, mask)
@@ -131,7 +187,7 @@ def match_pair(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ratio", "distinct", "backend", "chunk")
+    jax.jit, static_argnames=("ratio", "distinct", "backend", "chunk", "method")
 )
 def match_pairs_batch(
     descriptors: jax.Array,  # (S, F, D)
@@ -141,6 +197,7 @@ def match_pairs_batch(
     distinct: bool = False,
     backend: Literal["jnp", "pallas", "auto"] = "auto",
     chunk: int = 8,
+    method: Literal["bf", "flann"] = "bf",
 ) -> tuple[jax.Array, jax.Array]:
     """Match every (left, right) pair in `pairs`.
 
@@ -159,7 +216,8 @@ def match_pairs_batch(
         vq = valid[pair[0]]
         vt = valid[pair[1]]
         return match_pair(
-            dq, dt, vq, vt, ratio=ratio, distinct=distinct, backend=backend
+            dq, dt, vq, vt, ratio=ratio, distinct=distinct, backend=backend,
+            method=method,
         )
 
     return jax.lax.map(one, pairs, batch_size=chunk)

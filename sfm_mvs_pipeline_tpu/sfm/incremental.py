@@ -53,6 +53,7 @@ class SfMConfig:
     lowe_ratio: float = 0.7
     distinct_matches: bool = False
     matcher_backend: str = "auto"
+    matcher_method: str = "bf"  # "flann" = approximate shortlist matcher
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     ba_every_view: bool = True  # reference runs BA after every added view
     seed: int = 0
@@ -141,6 +142,7 @@ def reconstruct(
         ratio=cfg.lowe_ratio,
         distinct=cfg.distinct_matches,
         backend=cfg.matcher_backend,
+        method=cfg.matcher_method,
     )
     midx = np.asarray(midx)
     mmask = np.asarray(mmask)
