@@ -15,6 +15,15 @@ Design stance (not a port):
     instead of OpenMP `parallel for` (ref: src/cli/App.cpp:42-45)
 """
 
+import jax as _jax
+
+# Geometry code (DLT systems, normal equations, homography warps) needs full
+# f32 matmuls: the TPU MXU's default bf16 input precision silently destroys
+# RANSAC/DLT conditioning (observed: essential/PnP inlier ratios collapsing
+# from ~0.6 to ~0.01 on hardware). Kernels that *want* reduced precision
+# opt in explicitly (e.g. the Pallas matcher controls its own dot types).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"
 
 APP_NAME = "sfm-mvs-pipeline-tpu"

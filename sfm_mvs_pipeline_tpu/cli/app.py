@@ -38,6 +38,21 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     args = AppArgs(argv)
 
+    # persistent XLA compile cache: first-run TPU compiles are ~minutes,
+    # cached reruns are seconds
+    try:
+        import os
+
+        import jax
+
+        cache_dir = os.environ.get(
+            "SFM_MVS_TPU_CACHE", os.path.expanduser("~/.cache/sfm_mvs_tpu_xla")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     logging.set_level(args.get_int("loglevel", logging.INFO))
     logging.set_force_color(args.is_flag("forceColoredOutput"))
 

@@ -42,6 +42,7 @@ def print_usage() -> None:
   -Ppointcloud-feature-merge-distance=X  (default 20)
   -Pomp-feature-threads=N            (accepted for compat; batching replaces it)
   -Presume=<scene.npz>               skip SfM, resume from a scene checkpoint
+  -Pprofile=<dir>                    capture a jax.profiler trace of the run
   --distinct-matches                 drop ambiguous (shared-target) matches
   --colored                          colorize the sparse cloud
   --dense                            run dense MVS
@@ -94,6 +95,22 @@ def _run(args: AppArgs, out_dir: str, image_args: list) -> int:
     resume = args.get("resume")
     if resume:
         return _run_resumed(args, out_dir, resume)
+    profile_dir = args.get("profile")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+    try:
+        return _run_inner(args, out_dir, image_args)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            log.info(f"profiler trace written to {profile_dir}")
+
+
+def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
     import jax.numpy as jnp
 
     from sfm_mvs_pipeline_tpu.models.cameras import make_intrinsics
@@ -260,8 +277,69 @@ def _feature_cap(limit: int, w: int, h: int) -> int:
 
 
 def _write_artifacts(scene, out_dir: str) -> None:
-    """Debug artifacts: scene.txt dump (keypoint JPEGs parity comes with the
-    artifact pass; ref: PhotogrammetrieCli.cpp:139-219)."""
+    """Debug artifacts mirroring the reference (PhotogrammetrieCli.cpp:139-219):
+    keypoint overlay JPEGs per shot, match-line JPEGs per recovered pair
+    (derived from the observation table), undistorted images, scene.txt."""
+    import cv2
+
+    from sfm_mvs_pipeline_tpu.utils.images import load_rgb
+
+    art = os.path.join(out_dir, "artifacts")
+    os.makedirs(art, exist_ok=True)
+    rgbs = {}
+    for s in range(scene.n_shots):
+        rgb = load_rgb(scene.image_paths[s], scene.image_size)
+        rgbs[s] = rgb
+        img = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR).copy()
+        for x, y in scene.keypoints[s][scene.feat_valid[s]]:
+            cv2.circle(img, (int(x), int(y)), 2, (0, 255, 0), 1)
+        cv2.imwrite(os.path.join(art, f"keypoints_{s:04d}.jpg"), img)
+
+    # match images for shot pairs sharing tracked points
+    live = scene.obs_w > 0
+    by_point = {}
+    for o in np.nonzero(live)[0]:
+        by_point.setdefault(int(scene.obs_point[o]), []).append(o)
+    pair_lines = {}
+    for obs_list in by_point.values():
+        for i in range(len(obs_list)):
+            for j in range(i + 1, len(obs_list)):
+                a, b = int(scene.obs_shot[obs_list[i]]), int(scene.obs_shot[obs_list[j]])
+                if a == b:
+                    continue
+                if a > b:
+                    a, b = b, a
+                    oi, oj = obs_list[j], obs_list[i]
+                else:
+                    oi, oj = obs_list[i], obs_list[j]
+                pair_lines.setdefault((a, b), []).append(
+                    (scene.obs_uv[oi], scene.obs_uv[oj])
+                )
+    w, h = scene.image_size
+    for (a, b), lines in pair_lines.items():
+        if len(lines) < 10:
+            continue
+        canvas = np.concatenate(
+            [cv2.cvtColor(rgbs[a], cv2.COLOR_RGB2BGR),
+             cv2.cvtColor(rgbs[b], cv2.COLOR_RGB2BGR)], axis=1
+        ).copy()
+        for (ua, va), (ub, vb) in lines[:500]:
+            cv2.line(
+                canvas, (int(ua), int(va)), (int(ub) + w, int(vb)),
+                (0, 200, 255), 1,
+            )
+        cv2.imwrite(os.path.join(art, f"matches_{a:04d}_{b:04d}.jpg"), canvas)
+
+    # undistorted images (ref: OpenMvsUtils.cpp:136-150 writes these too)
+    from sfm_mvs_pipeline_tpu.mvs.pipeline import _undistort_image
+
+    for s in range(scene.n_shots):
+        und = _undistort_image(rgbs[s], scene.intrinsics[scene.cam_of_shot[s]])
+        cv2.imwrite(
+            os.path.join(art, f"undistorted_{s:04d}.png"),
+            cv2.cvtColor(und.astype(np.uint8), cv2.COLOR_RGB2BGR),
+        )
+
     with open(os.path.join(out_dir, "scene.txt"), "w") as f:
         f.write(f"shots: {scene.n_shots}\n")
         f.write(f"points: {scene.n_points}\n")

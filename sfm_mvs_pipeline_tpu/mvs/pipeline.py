@@ -168,7 +168,9 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
 
     fused = fuse_depth_maps(
         depth_maps, valids, poses, intr_pinhole.astype(np.float32), rgbs,
-        min_views=cfg.min_fusion_views, rel_tolerance=cfg.fusion_tolerance,
+        # can't demand more consistent views than exist (tiny scenes)
+        min_views=min(cfg.min_fusion_views, len(rec)),
+        rel_tolerance=cfg.fusion_tolerance,
         log=log,
     )
     log(f"fused dense cloud: {len(fused['points'])} points")
