@@ -265,16 +265,21 @@ def _keypoint_orientation(gauss: jax.Array, lvl, x, y, sigma_rel):
     Returns angle (K,) rad."""
     lin = jnp.arange(-_ORI_GRID, _ORI_GRID + 1, dtype=gauss.dtype)
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")  # (n, n)
+    # flatten the sample grid so the (K, n*n) temporaries keep the long axis
+    # in lanes — (K, 17, 17) pads 10.6x under TPU (8, 128) tiling and OOMs
+    # on full-size feature batches; (K, 289) pads only to 384.
+    gx = gx.ravel()
+    gy = gy.ravel()  # (n*n,)
     # sample spacing: cover radius 3 * 1.5 * sigma
     step = (3.0 * 1.5) / _ORI_GRID * sigma_rel  # (K,)
-    sx = x[:, None, None] + gx[None] * step[:, None, None]
-    sy = y[:, None, None] + gy[None] * step[:, None, None]
-    lv = lvl[:, None, None]
+    sx = x[:, None] + gx[None] * step[:, None]
+    sy = y[:, None] + gy[None] * step[:, None]
+    lv = lvl[:, None]
 
     dxs = _bilinear(gauss, sx + 1, sy, lv) - _bilinear(gauss, sx - 1, sy, lv)
     dys = _bilinear(gauss, sx, sy + 1, lv) - _bilinear(gauss, sx, sy - 1, lv)
     mag = jnp.sqrt(dxs * dxs + dys * dys)
-    theta = jnp.arctan2(dys, dxs)  # (K, n, n)
+    theta = jnp.arctan2(dys, dxs)  # (K, n*n)
 
     r2 = (gx * gx + gy * gy)[None] / (_ORI_GRID / 2.0) ** 2
     wgt = jnp.exp(-r2) * mag
@@ -286,7 +291,7 @@ def _keypoint_orientation(gauss: jax.Array, lvl, x, y, sigma_rel):
     oh1 = jax.nn.one_hot((b0 + 1) % _N_ORI_BINS, _N_ORI_BINS, dtype=gauss.dtype) * (
         f * wgt
     )[..., None]
-    hist = jnp.sum(oh0 + oh1, axis=(1, 2))  # (K, 36)
+    hist = jnp.sum(oh0 + oh1, axis=1)  # (K, 36)
     # smooth histogram (circular [1 4 6 4 1]/16 like OpenCV, applied once)
     kern = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], gauss.dtype) / 16.0
     histp = jnp.concatenate([hist[:, -2:], hist, hist[:, :2]], axis=1)
@@ -310,27 +315,31 @@ def _keypoint_descriptor(gauss: jax.Array, lvl, x, y, sigma_rel, angle):
     # sample grid in descriptor-bin units: [-d/2, d/2) with n samples/side
     lin = (jnp.arange(n, dtype=gauss.dtype) + 0.5) / n * d - d / 2.0  # bin units
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")  # (n, n)
+    # flat (n*n,) grid: keeps the sample axis in TPU lanes (see
+    # _keypoint_orientation) instead of a (K, 16, 16) layout that pads 8x.
+    gx = gx.ravel()
+    gy = gy.ravel()
     bin_w = 3.0 * sigma_rel  # pixels per descriptor bin (hist_width)
 
     ca = jnp.cos(angle)
     sa = jnp.sin(angle)
     # rotate grid by angle, scale to pixels
-    px = (ca[:, None, None] * gx[None] - sa[:, None, None] * gy[None]) * bin_w[
-        :, None, None
-    ] + x[:, None, None]
-    py = (sa[:, None, None] * gx[None] + ca[:, None, None] * gy[None]) * bin_w[
-        :, None, None
-    ] + y[:, None, None]
+    px = (ca[:, None] * gx[None] - sa[:, None] * gy[None]) * bin_w[
+        :, None
+    ] + x[:, None]
+    py = (sa[:, None] * gx[None] + ca[:, None] * gy[None]) * bin_w[
+        :, None
+    ] + y[:, None]
 
-    lv = lvl[:, None, None]
+    lv = lvl[:, None]
     dxs = _bilinear(gauss, px + 1, py, lv) - _bilinear(gauss, px - 1, py, lv)
     dys = _bilinear(gauss, px, py + 1, lv) - _bilinear(gauss, px, py - 1, lv)
     mag = jnp.sqrt(dxs * dxs + dys * dys)
-    theta = jnp.arctan2(dys, dxs) - angle[:, None, None]
+    theta = jnp.arctan2(dys, dxs) - angle[:, None]
 
     # gaussian window over the whole descriptor (sigma = d/2 in bin units)
     r2 = (gx * gx + gy * gy)[None] / (2 * (d / 2.0) ** 2)
-    wgt = jnp.exp(-r2) * mag  # (K, n, n)
+    wgt = jnp.exp(-r2) * mag  # (K, n*n)
 
     # spatial soft-binning: sample coords in bin space are (gx + d/2 - 0.5)
     bx = gx + d / 2.0 - 0.5  # [-0.5 .. 3.5]
@@ -347,7 +356,7 @@ def _keypoint_descriptor(gauss: jax.Array, lvl, x, y, sigma_rel, angle):
         iny = (iy >= 0) & (iy < d)
         return jnp.where(inx & iny, wx * wy, 0.0)
 
-    # (n, n, 16) static spatial weights
+    # (n*n, 16) static spatial weights
     Wsp = jnp.stack(
         [spatial_w(ix, iy) for iy in range(d) for ix in range(d)], axis=-1
     )
@@ -359,9 +368,9 @@ def _keypoint_descriptor(gauss: jax.Array, lvl, x, y, sigma_rel, angle):
     fo = ob - jnp.floor(ob)
     Wo = jax.nn.one_hot(o0, nb, dtype=gauss.dtype) * (1 - fo)[..., None] + jax.nn.one_hot(
         (o0 + 1) % nb, nb, dtype=gauss.dtype
-    ) * fo[..., None]  # (K, n, n, 8)
+    ) * fo[..., None]  # (K, n*n, 8)
 
-    desc = jnp.einsum("knm,nms,knmo->kso", wgt, Wsp, Wo)  # (K, 16, 8)
+    desc = jnp.einsum("kn,ns,kno->kso", wgt, Wsp, Wo)  # (K, 16, 8)
     desc = desc.reshape(-1, 128)
 
     # OpenCV normalization: L2 -> clip 0.2 -> L2 -> scale 512

@@ -22,6 +22,13 @@ def write_ply_points(
     colors: np.ndarray | None = None,  # (N, 3|4) uint8
     normals: np.ndarray | None = None,  # (N, 3)
 ) -> None:
+    # Native C++ writer fast path (alpha channel stays on the numpy path —
+    # the native writer emits rgb only).
+    if colors is None or colors.shape[1] == 3:
+        from sfm_mvs_pipeline_tpu import native
+
+        if native.write_ply_native(path, points, colors, normals):
+            return
     n = len(points)
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
     fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
@@ -65,6 +72,10 @@ def write_ply_mesh(
     colors: np.ndarray | None = None,  # (V, 3) uint8
     normals: np.ndarray | None = None,
 ) -> None:
+    from sfm_mvs_pipeline_tpu import native
+
+    if native.write_ply_native(path, vertices, colors, normals, np.asarray(faces)):
+        return
     v = len(vertices)
     fc = len(faces)
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {v}"]

@@ -98,11 +98,18 @@ def write_reprojection_stats(scene, out_dir: str, prefix: str = "reprojectionerr
 
 # ------------------------------------------------------------ NN distances
 def knn_distances(points: np.ndarray, k: int = 1, chunk: int = 2048) -> np.ndarray:
-    """Distance to the k-th nearest neighbor per point (brute force, chunked;
-    the TPU path batches this through the same distance kernel as matching)."""
+    """Distance to the k-th nearest neighbor per point. Uses the native C++
+    kd-tree (O(N log N), OpenMP queries — native/src/native.cpp, the PCL
+    KdTreeFLANN equivalent) when built, with a chunked brute-force numpy
+    fallback."""
     n = len(points)
     if n <= k:
         return np.zeros(n)
+    from sfm_mvs_pipeline_tpu import native
+
+    d = native.knn_kth_distance(np.asarray(points, np.float32), k)
+    if d is not None:
+        return d
     out = np.empty(n)
     pts = points.astype(np.float32)
     for s in range(0, n, chunk):
