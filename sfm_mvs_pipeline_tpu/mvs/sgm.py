@@ -49,8 +49,22 @@ def sgm_aggregate(
     p2: float | jax.Array = 0.3,
 ) -> jax.Array:
     """4-path SGM aggregation. Returns the aggregated volume (D, H, W),
-    normalized by the number of paths so downstream thresholds keep scale."""
+    normalized by the number of paths so downstream thresholds keep scale.
+
+    On TPU the two directions of each axis run in one fused Pallas pass
+    (ops/pallas/sgm_kernel.py: cost block resident in VMEM, both
+    recurrences in-kernel); elsewhere the lax.scan formulation is used."""
     v = jnp.moveaxis(cost_volume, 0, -1)  # (H, W, D)
+
+    if jax.default_backend() == "tpu":
+        from sfm_mvs_pipeline_tpu.ops.pallas.sgm_kernel import sgm_bidir_pallas
+
+        horiz = sgm_bidir_pallas(v, p1, p2)  # scan over W, both ways
+        vert = jnp.swapaxes(
+            sgm_bidir_pallas(jnp.swapaxes(v, 0, 1), p1, p2), 0, 1
+        )
+        agg = (horiz + vert) / 4.0
+        return jnp.moveaxis(agg, -1, 0)
 
     lr = _scan_dir(jnp.swapaxes(v, 0, 1), p1, p2)  # scan over W: (W, H, D)
     lr = jnp.swapaxes(lr, 0, 1)
