@@ -143,3 +143,25 @@ def test_fusion_and_mesh(plane_scene):
         np.minimum(np.abs(mv[:, 2] - Z_BG), np.abs(mv[:, 2] - Z_FG)) < 0.3
     )
     assert on_plane_v.mean() > 0.9
+
+
+def test_pallas_sgm_matches_scan(rng):
+    """The Pallas bidirectional kernel (interpret mode on CPU) must equal the
+    lax.scan reference for both scan axes, including non-aligned shapes."""
+    from sfm_mvs_pipeline_tpu.mvs.sgm import _scan_dir
+    from sfm_mvs_pipeline_tpu.ops.pallas.sgm_kernel import sgm_bidir_pallas
+
+    h, w, d = 13, 21, 37
+    v = jnp.asarray(rng.random((h, w, d)).astype(np.float32))
+    p1, p2 = 0.05, 0.4
+    lr = jnp.swapaxes(_scan_dir(jnp.swapaxes(v, 0, 1), p1, p2), 0, 1)
+    rl = jnp.swapaxes(_scan_dir(jnp.swapaxes(v, 0, 1)[::-1], p1, p2)[::-1], 0, 1)
+    out = sgm_bidir_pallas(v, p1, p2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lr + rl), atol=1e-6)
+
+    tb = _scan_dir(v, p1, p2)
+    bt = _scan_dir(v[::-1], p1, p2)[::-1]
+    out_v = jnp.swapaxes(
+        sgm_bidir_pallas(jnp.swapaxes(v, 0, 1), p1, p2, interpret=True), 0, 1
+    )
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(tb + bt), atol=1e-6)
