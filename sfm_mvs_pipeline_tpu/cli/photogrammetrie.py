@@ -44,12 +44,14 @@ def print_usage() -> None:
   -Presume=<scene.npz>               skip SfM, resume from a scene checkpoint
   -Pprofile=<dir>                    capture a jax.profiler trace of the run
   --distinct-matches                 drop ambiguous (shared-target) matches
-  --colored                          colorize the sparse cloud
+  --colored                          colorize the sparse cloud (+ texture the
+                                     mesh, like the reference's TextureMesh)
   --dense                            run dense MVS
   --sgm                              use SGM instead of plane-sweep for depth
   --mesh                             mesh the dense cloud
   --no-decimate                      skip mesh decimation
-  --refine-mesh                      run mesh refinement
+  --refine-mesh                      photometric mesh refinement (may also
+                                     degrade the mesh, as the reference warns)
   --stats                            write statistics CSVs + resource samples
   --artifacts                        keep debug artifacts (matches, depth maps)
   --help"""
@@ -259,6 +261,7 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
             mesh=args.is_flag("mesh"),
             decimate=not args.is_flag("no-decimate"),
             refine_mesh=args.is_flag("refine-mesh"),
+            texture=args.is_flag("colored"),
             keep_artifacts=args.is_flag("artifacts"),
         )
         run_mvs(scene, out_dir, mvs_cfg, log=logging.AppLogger("MVS").info)
@@ -389,6 +392,7 @@ def _run_resumed(args: AppArgs, out_dir: str, resume_path: str) -> int:
             mesh=args.is_flag("mesh"),
             decimate=not args.is_flag("no-decimate"),
             refine_mesh=args.is_flag("refine-mesh"),
+            texture=args.is_flag("colored"),
             keep_artifacts=args.is_flag("artifacts"),
         )
         run_mvs(scene, out_dir, mvs_cfg, log=logging.AppLogger("MVS").info)

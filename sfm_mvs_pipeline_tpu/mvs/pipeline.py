@@ -37,6 +37,7 @@ class MVSConfig:
     mesh: bool = False
     decimate: bool = True
     refine_mesh: bool = False
+    texture: bool = False
     keep_artifacts: bool = False
 
 
@@ -189,14 +190,44 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
             depth_maps, valids, poses, intr_pinhole.astype(np.float32), rgbs,
             decimate=cfg.decimate, log=log,
         )
+        if cfg.refine_mesh and len(mesh["faces"]):
+            # photometric refinement (openMVS RefineMesh stand-in,
+            # ref: MVS.cpp:157-172)
+            from sfm_mvs_pipeline_tpu.mvs.refine import refine_mesh_photometric
+
+            mesh["vertices"] = refine_mesh_photometric(
+                mesh["vertices"], mesh["faces"], poses,
+                intr_pinhole.astype(np.float32), grays, log=log,
+            )
         from sfm_mvs_pipeline_tpu.utils.ply import write_ply_mesh
 
-        write_ply_mesh(
-            os.path.join(out_dir, "mesh_dense.ply"),
-            mesh["vertices"],
-            mesh["faces"],
-            colors=mesh.get("colors"),
-        )
+        if cfg.texture and len(mesh["faces"]):
+            # texture atlas + textured PLY (openMVS TextureMesh, gated by
+            # --colored like the reference — PhotogrammetrieCli.cpp:228)
+            from sfm_mvs_pipeline_tpu.mvs.texture import (
+                build_texture_atlas,
+                write_ply_mesh_textured,
+            )
+
+            tex = build_texture_atlas(
+                mesh["vertices"], mesh["faces"], poses,
+                intr_pinhole.astype(np.float32), rgbs,
+            )
+            write_ply_mesh_textured(
+                os.path.join(out_dir, "mesh_dense.ply"),
+                mesh["vertices"], mesh["faces"], tex["uv"], tex["atlas"],
+                colors=mesh.get("colors"),
+            )
+            log(f"textured mesh: atlas {tex['atlas'].shape[0]}x"
+                f"{tex['atlas'].shape[1]}")
+            results["texture"] = tex
+        else:
+            write_ply_mesh(
+                os.path.join(out_dir, "mesh_dense.ply"),
+                mesh["vertices"],
+                mesh["faces"],
+                colors=mesh.get("colors"),
+            )
         log(
             f"mesh: {len(mesh['vertices'])} vertices, {len(mesh['faces'])} faces"
         )

@@ -1,0 +1,243 @@
+"""Mesh texturing: per-face view selection + texture atlas + textured PLY.
+
+Replaces openMVS TextureMesh (invoked by the reference when --colored and
+--mesh are both set — ref: src/photogrammetrie/mvs/MVS.cpp:175-178,
+src/cli/PhotogrammetrieCli.cpp:228) and the textured-PLY writer (ref:
+src/photogrammetrie/util/OpenMvsUtils.cpp:312-448: PLY with per-face
+`texcoord` lists + `comment TextureFile <png>`).
+
+TPU-shaped formulation: all faces are processed as one batch —
+  1. best view per face = argmax over views of (facing cosine) / depth^2
+     for faces whose centroid projects inside the view,
+  2. every face gets one BxB atlas block; its texel grid is barycentric-
+     interpolated to 3D in a single (F, B*B, 3) array, projected and
+     bilinearly sampled per view group on device,
+  3. the atlas assembles by one reshape (blocks are laid out row-major).
+The sequential chart-packing openMVS does has no batched analogue; uniform
+blocks trade some texture space for a fully vectorized fill.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _face_geometry(vertices: np.ndarray, faces: np.ndarray):
+    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
+    n = np.cross(v1 - v0, v2 - v0)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    n = n / np.maximum(norm, 1e-12)
+    centroid = (v0 + v1 + v2) / 3.0
+    return n, centroid
+
+
+def select_face_views(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    poses: np.ndarray,  # (V, 6)
+    intr: np.ndarray,  # (7,)
+    image_hw: tuple[int, int],
+) -> np.ndarray:
+    """Best source view per face (int, -1 when no view sees the face).
+
+    Score mirrors openMVS's face-view quality: viewing angle x resolution
+    (projected area ~ cos(theta)/z^2)."""
+    import jax.numpy as jnp
+
+    from sfm_mvs_pipeline_tpu.models.cameras import project_points
+    from sfm_mvs_pipeline_tpu.ops.pose import camera_center
+
+    normals, centroids = _face_geometry(vertices, faces)
+    h, w = image_hw
+    poses_d = jnp.asarray(poses, jnp.float32)
+    cent = jnp.asarray(centroids, jnp.float32)
+    uv, z = project_points(
+        poses_d,
+        jnp.asarray(intr, jnp.float32),
+        jnp.broadcast_to(cent[None], (len(poses), *cent.shape)),
+    )
+    uv = np.asarray(uv)  # (V, F, 2)
+    z = np.asarray(z)
+    import jax
+
+    centers = np.asarray(jax.vmap(camera_center)(poses_d))  # (V, 3)
+    to_cam = centers[:, None, :] - centroids[None]  # (V, F, 3)
+    to_cam /= np.maximum(np.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-12)
+    cosang = np.einsum("vfk,fk->vf", to_cam, normals)
+    inside = (
+        (uv[..., 0] >= 0) & (uv[..., 0] <= w - 1)
+        & (uv[..., 1] >= 0) & (uv[..., 1] <= h - 1)
+        & (z > 1e-6)
+    )
+    score = np.where(inside & (cosang > 0.05), cosang / np.maximum(z, 1e-6) ** 2, -1.0)
+    best = score.argmax(0)
+    best[score.max(0) <= 0] = -1
+    return best.astype(np.int32)
+
+
+def build_texture_atlas(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    poses: np.ndarray,
+    intr: np.ndarray,
+    images: np.ndarray,  # (V, H, W, 3) uint8 (undistorted)
+    block: int = 8,
+) -> dict:
+    """Returns {"atlas": (A, A, 3) uint8, "uv": (F, 3, 2) float in [0, 1]}."""
+    import jax.numpy as jnp
+
+    from sfm_mvs_pipeline_tpu.models.cameras import project_points
+    from sfm_mvs_pipeline_tpu.mvs.plane_sweep import _bilinear_hw
+
+    nf = len(faces)
+    vh, vw = images.shape[1:3]
+    best = select_face_views(vertices, faces, poses, intr, (vh, vw))
+
+    cols = max(1, int(np.ceil(np.sqrt(max(nf, 1)))))
+    rows = max(1, -(-nf // cols))
+    aw, ah = cols * block, rows * block
+
+    # barycentric texel grid of one block: corners (.5,.5) (B-.5,.5) (.5,B-.5)
+    ii, jj = np.meshgrid(np.arange(block), np.arange(block), indexing="ij")
+    l1 = (jj.astype(np.float64)) / (block - 1)  # toward corner 1 (u axis)
+    l2 = (ii.astype(np.float64)) / (block - 1)  # toward corner 2 (v axis)
+    # clamp texels past the diagonal back onto the triangle (edge bleed)
+    over = np.maximum(l1 + l2 - 1.0, 0.0) / 2.0
+    l1 = np.clip(l1 - over, 0, 1).ravel()
+    l2 = np.clip(l2 - over, 0, 1).ravel()
+    l0 = np.clip(1.0 - l1 - l2, 0, 1)
+
+    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
+    # (F, B*B, 3) world positions of every texel
+    pos = (
+        v0[:, None, :] * l0[None, :, None]
+        + v1[:, None, :] * l1[None, :, None]
+        + v2[:, None, :] * l2[None, :, None]
+    ).astype(np.float32)
+
+    import functools
+
+    import jax
+
+    @jax.jit
+    def _sample_view(pose, img, p):
+        uv, _ = project_points(pose, jnp.asarray(intr, jnp.float32), p[None])
+        uv = uv[0]
+        samples = jnp.stack(
+            [_bilinear_hw(img[..., c], uv[:, 0], uv[:, 1])[0] for c in range(3)],
+            axis=-1,
+        )
+        return jnp.clip(jnp.round(samples), 0, 255).astype(jnp.uint8)
+
+    images_d = jnp.asarray(images, jnp.float32)
+    texels = np.full((nf, block * block, 3), 128, np.uint8)
+    for v in np.unique(best):
+        if v < 0:
+            continue
+        sel = np.nonzero(best == v)[0]
+        # pow2-pad the face batch: one compile per bucket, not per group size
+        m = max(64, 1 << int(np.ceil(np.log2(len(sel)))))
+        p = np.zeros((m * block * block, 3), np.float32)
+        p[: len(sel) * block * block] = pos[sel].reshape(-1, 3)
+        samples = np.asarray(
+            _sample_view(
+                jnp.asarray(poses[v], jnp.float32), images_d[v], jnp.asarray(p)
+            )
+        )[: len(sel) * block * block]
+        texels[sel] = samples.reshape(len(sel), block * block, 3)
+
+    # assemble: pad to rows*cols blocks, reshape row-major
+    pad = rows * cols - nf
+    blocks = np.concatenate(
+        [texels.reshape(nf, block, block, 3),
+         np.full((pad, block, block, 3), 128, np.uint8)]
+    )
+    atlas = (
+        blocks.reshape(rows, cols, block, block, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(ah, aw, 3)
+    )
+
+    # per-face-corner texcoords (u right, v up — flipped y like openMVS)
+    bi = np.arange(nf)
+    x0 = (bi % cols) * block
+    y0 = (bi // cols) * block
+    corners_px = np.stack(
+        [
+            np.stack([x0 + 0.5, y0 + 0.5], 1),
+            np.stack([x0 + block - 0.5, y0 + 0.5], 1),
+            np.stack([x0 + 0.5, y0 + block - 0.5], 1),
+        ],
+        axis=1,
+    )  # (F, 3, 2) pixel coords in atlas
+    uv_out = np.empty_like(corners_px, dtype=np.float64)
+    uv_out[..., 0] = corners_px[..., 0] / aw
+    uv_out[..., 1] = 1.0 - corners_px[..., 1] / ah
+    return {"atlas": atlas, "uv": uv_out.astype(np.float32), "face_view": best}
+
+
+def write_ply_mesh_textured(
+    path: str,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    uv: np.ndarray,  # (F, 3, 2)
+    atlas: np.ndarray,  # (A, A, 3) uint8
+    colors: np.ndarray | None = None,
+) -> None:
+    """Textured-mesh PLY: TextureFile comment + per-face texcoord lists
+    (the format the reference emits — OpenMvsUtils.cpp:312-448). The atlas
+    PNG is written next to the PLY."""
+    import cv2
+
+    tex_name = os.path.splitext(os.path.basename(path))[0] + ".png"
+    cv2.imwrite(
+        os.path.join(os.path.dirname(path) or ".", tex_name),
+        atlas[..., ::-1],  # RGB -> BGR
+    )
+    v = len(vertices)
+    header = [
+        "ply",
+        "format binary_little_endian 1.0",
+        f"comment TextureFile {tex_name}",
+        f"element vertex {v}",
+        "property float x",
+        "property float y",
+        "property float z",
+    ]
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if colors is not None:
+        header += [
+            "property uchar red", "property uchar green", "property uchar blue",
+        ]
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    header += [
+        f"element face {len(faces)}",
+        "property list uchar int vertex_indices",
+        "property list uchar float texcoord",
+        "end_header",
+    ]
+    rec = np.empty(v, dtype=fields)
+    rec["x"], rec["y"], rec["z"] = (
+        vertices[:, i].astype(np.float32) for i in range(3)
+    )
+    if colors is not None:
+        rec["red"], rec["green"], rec["blue"] = (
+            colors[:, i].astype(np.uint8) for i in range(3)
+        )
+    ftype = [("n", "u1"), ("a", "<i4"), ("b", "<i4"), ("c", "<i4"),
+             ("m", "u1")] + [(f"t{i}", "<f4") for i in range(6)]
+    frec = np.empty(len(faces), dtype=ftype)
+    frec["n"] = 3
+    frec["a"], frec["b"], frec["c"] = (
+        faces[:, i].astype(np.int32) for i in range(3)
+    )
+    frec["m"] = 6
+    flat = uv.reshape(len(faces), 6)
+    for i in range(6):
+        frec[f"t{i}"] = flat[:, i].astype(np.float32)
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        rec.tofile(f)
+        frec.tofile(f)

@@ -165,3 +165,43 @@ def test_pallas_sgm_matches_scan(rng):
         sgm_bidir_pallas(jnp.swapaxes(v, 0, 1), p1, p2, interpret=True), 0, 1
     )
     np.testing.assert_allclose(np.asarray(out_v), np.asarray(tb + bt), atol=1e-6)
+
+
+def test_texture_and_refine(plane_scene, tmp_path):
+    """Texture atlas + textured PLY + photometric refinement on the synthetic
+    scene: every face with a visible view gets one, texels come from real
+    image content, refinement never degrades vertices with no photo signal."""
+    from sfm_mvs_pipeline_tpu.mvs.refine import refine_mesh_photometric
+    from sfm_mvs_pipeline_tpu.mvs.texture import (
+        build_texture_atlas,
+        select_face_views,
+        write_ply_mesh_textured,
+    )
+
+    grays, gt, poses, intr = plane_scene
+    valids = np.ones_like(gt, bool)
+    rgbs = np.repeat((grays * 255).astype(np.uint8)[..., None], 3, axis=-1)
+    mesh = mesh_from_depth_maps(gt, valids, poses, intr, rgbs, decimate=True)
+    V, F_, = mesh["vertices"], mesh["faces"]
+    assert len(F_) > 100
+
+    best = select_face_views(V, F_, poses, intr, grays.shape[1:])
+    assert (best >= 0).mean() > 0.8  # nearly all faces are seen
+
+    tex = build_texture_atlas(V, F_, poses, intr, rgbs)
+    atlas, uv = tex["atlas"], tex["uv"]
+    assert uv.shape == (len(F_), 3, 2)
+    assert (uv >= 0).all() and (uv <= 1).all()
+    assert atlas.std() > 10  # real texture content, not a constant fill
+
+    out = str(tmp_path / "mesh.ply")
+    write_ply_mesh_textured(out, V, F_, uv, atlas, colors=mesh.get("colors"))
+    head = open(out, "rb").read(400).decode("latin1")
+    assert "TextureFile" in head and "texcoord" in head
+    assert (tmp_path / "mesh.png").exists()
+
+    refined = refine_mesh_photometric(V, F_, poses, intr, grays)
+    assert refined.shape == V.shape
+    # refinement is bounded by the search ladder
+    d = np.linalg.norm(refined - V, axis=1)
+    assert np.isfinite(refined).all() and d.max() < 1.0
