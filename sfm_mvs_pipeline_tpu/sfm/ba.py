@@ -314,7 +314,7 @@ def ba_build_core(
     init = (jnp.zeros((D, D), dt), jnp.zeros((D,), dt))
     if axis_name is not None:
         # under shard_map the carry becomes device-varying; mark the init so
-        init = jax.lax.pvary(init, (axis_name,))
+        init = jax.lax.pcast(init, axis_name, to="varying")
     (S_corr, rhs_corr), (Bp_all, gp_all) = jax.lax.scan(chunk_body, init, tab)
     Bp = Bp_all.reshape(-1, 3, 3)[:P]
     gp = gp_all.reshape(-1, 3)[:P]

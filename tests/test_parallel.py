@@ -104,3 +104,32 @@ def test_sharded_ba_matches_single_chip(rng):
     np.testing.assert_allclose(
         sharded["points"], single["points"], atol=1e-2
     )
+
+
+def test_distributed_single_process_degenerates():
+    """Single-process: bring-up is a no-op, host_shard returns everything,
+    assemble_global builds a correctly-sharded global array."""
+    import jax
+    from jax.sharding import PartitionSpec as P, NamedSharding
+
+    from sfm_mvs_pipeline_tpu.parallel.distributed import (
+        all_hosts_agree,
+        assemble_global,
+        host_shard,
+        initialize_distributed,
+        process_count,
+        process_index,
+    )
+    from sfm_mvs_pipeline_tpu.parallel.mesh import make_mesh
+
+    assert initialize_distributed() is False
+    assert process_count() == 1 and process_index() == 0
+    items = list(range(10))
+    assert host_shard(items) == items
+    assert all_hosts_agree(10)
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+    arr = assemble_global(mesh, sh, np.arange(16, dtype=np.float32).reshape(8, 2))
+    assert arr.shape == (8, 2)
+    assert len(arr.addressable_shards) == 8
