@@ -71,6 +71,14 @@ def main(args: AppArgs) -> int:
             ],
             axis=1,
         )
-        write_ply_points(quality_out, pts, colors)
+        faces = data.get("faces")
+        if faces is not None and len(faces):
+            # meshes keep their faces in the quality PLY, like the
+            # reference's writeToNeighborPLY (PclUtils.cpp:91-265)
+            from sfm_mvs_pipeline_tpu.utils.ply import write_ply_mesh
+
+            write_ply_mesh(quality_out, pts, faces, colors=colors)
+        else:
+            write_ply_points(quality_out, pts, colors)
     log.info("done")
     return 0

@@ -98,3 +98,21 @@ def test_cli_usage_and_dispatch(capsys):
     assert main(["-Prun=bogus"]) == 2
     # photogrammetrie without images -> usage + error
     assert main(["-Prun=photogrammetrie", "-Ploglevel=4"]) == 2
+
+
+def test_pcl_stats_cli_mesh_keeps_faces(tmp_path, rng):
+    """A mesh input produces a quality PLY that still has its faces
+    (reference writeToNeighborPLY behavior)."""
+    from sfm_mvs_pipeline_tpu.cli import pcl_stats
+    from sfm_mvs_pipeline_tpu.utils.args import AppArgs
+    from sfm_mvs_pipeline_tpu.utils.ply import read_ply, write_ply_mesh
+
+    pts = rng.normal(size=(50, 3))
+    faces = rng.integers(0, 50, (30, 3))
+    inp = str(tmp_path / "mesh.ply")
+    write_ply_mesh(inp, pts, faces)
+    args = AppArgs([f"-Pinput={inp}"])
+    assert pcl_stats.main(args) == 0
+    q = read_ply(str(tmp_path / "mesh.quality.ply"))
+    assert q["faces"].shape == (30, 3)
+    assert q["colors"].shape[1] >= 3
