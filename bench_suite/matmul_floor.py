@@ -1,3 +1,12 @@
+"""Microbenchmark: XLA matmul precision-path floors on this TPU chip.
+
+Measures the wall-clock of an 8192x8192x128 dot_general under the three
+precision paths (f32 HIGHEST, bf16x3 HIGH, native bf16) to document why the
+framework forces an explicit matmul precision everywhere (see README
+"matmul note": the default-precision f32 path lowers to a ~0.9 TFLOP/s
+fallback on this chip vs ~420 TFLOP/s with any explicit precision).
+Not part of bench.py or the test suite; run directly: python bench_suite/matmul_floor.py
+"""
 import time, numpy as np, jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -32,8 +32,12 @@ they are initialized at j == 0.
 
 Tie-breaking: within a lane, earlier targets win (strict <); across lanes
 the final argmin picks the lowest lane, which is not necessarily the lowest
-global index. Exact f32 distance ties between distinct descriptors do not
-occur in practice, and a tie makes the Lowe ratio 1.0 (rejected) either way.
+global index. Exact f32 distance ties ARE common on the ORB/Hamming path
+(the +-1 expansion yields integer-valued distances), so on a tie best_idx
+may differ from two_nn_jnp/OpenCV (lowest-lane vs lowest-index winner).
+The contract guarantee is therefore "identical post-ratio-test results",
+not identical best_idx on exact ties: a tied best/second gives ratio 1.0
+and is rejected by the Lowe test on every backend.
 """
 
 from __future__ import annotations

@@ -126,7 +126,9 @@ def run_bundle_adjustment_sharded(
     n_dev = mesh.devices.size
     n_shots = poses.shape[0]
     n_cams = intr.shape[0]
-    dt = points.dtype
+    # canonical device dtype: f64 inputs run as f32 on device (x64 disabled),
+    # so request the canonical dtype up front instead of warning-truncating
+    dt = jax.dtypes.canonicalize_dtype(points.dtype)
 
     sh = shard_scene_by_points(
         n_dev, points, obs_point, obs_shot, obs_uv, obs_w

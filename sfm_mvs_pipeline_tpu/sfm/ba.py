@@ -394,7 +394,7 @@ def run_bundle_adjustment(
     n_shots = poses.shape[0]
     n_cams = intr.shape[0]
     P = points.shape[0]
-    dt = dtype or points.dtype
+    dt = jax.dtypes.canonicalize_dtype(dtype or points.dtype)
 
     # Bucket the observation and point axes to powers of two: the incremental
     # SfM loop grows both every round, and without bucketing every BA call

@@ -156,8 +156,10 @@ def reconstruct(
     )
     ratios = np.where(live, ratios, -1.0)
 
-    intr_d = jnp.asarray(scene.intrinsics, np.float64)
-    kp_d = jnp.asarray(scene.keypoints, np.float64)
+    # f64 host state runs at the canonical device dtype (f32 unless x64 is on)
+    _dt = jax.dtypes.canonicalize_dtype(np.float64)
+    intr_d = jnp.asarray(scene.intrinsics, _dt)
+    kp_d = jnp.asarray(scene.keypoints, _dt)
 
     pair_matches = {}  # (a, b) -> (idx_a, idx_b) compact
     for k_, (a, b) in enumerate(pairs):

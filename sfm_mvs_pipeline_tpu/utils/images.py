@@ -62,6 +62,64 @@ def load_rgb(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def scale_letterbox(
+    img: np.ndarray, dst_size: tuple[int, int], fill=0
+) -> np.ndarray:
+    """Aspect-preserving resize into (w, h) with centered letterbox padding
+    (ref: OpenCvUtils::scale, src/photogrammetrie/util/OpenCvUtils.cpp:93-140)."""
+    import cv2
+
+    dw, dh = dst_size
+    h, w = img.shape[:2]
+    if (w, h) == (dw, dh):
+        return img.copy()
+    factor = min(dw / w, dh / h)
+    sw = max(int(round(w * factor)), 1)
+    sh = max(int(round(h * factor)), 1)
+    scaled = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_AREA)
+    shape = (dh, dw) + img.shape[2:]
+    out = np.full(shape, fill, dtype=img.dtype)
+    x0 = abs(dw - sw) // 2
+    y0 = abs(dh - sh) // 2
+    out[y0 : y0 + sh, x0 : x0 + sw] = scaled
+    return out
+
+
+def scale_points(points: np.ndarray, scale: float) -> np.ndarray:
+    """Uniformly scale 2D points (ref: OpenCvUtils::scalePoints,
+    OpenCvUtils.cpp:142-146)."""
+    return np.asarray(points) * scale
+
+
+def scaled_intrinsics(K: np.ndarray, scale: float) -> np.ndarray:
+    """Scale the first two rows of a 3x3 K for a resized image
+    (ref: OpenCvUtils::scaledK, OpenCvUtils.h:194-213)."""
+    K = np.asarray(K, np.float64)
+    if K.shape != (3, 3):
+        raise ValueError("expected a 3x3 camera matrix")
+    out = K.copy()
+    out[:2] *= scale
+    return out
+
+
+def stereo_matcher_roi(
+    src_size: tuple[int, int],
+    min_disparity: int,
+    num_disparities: int,
+    block_size: int,
+) -> tuple[int, int, int, int]:
+    """Valid-disparity ROI (x, y, w, h) of a block stereo matcher
+    (ref: OpenCvUtils::computeStereoMatcherROI, OpenCvUtils.cpp:148-163)."""
+    w, h = src_size
+    half = block_size // 2
+    max_disparity = min_disparity + num_disparities - 1
+    x_min = max_disparity + half
+    x_max = w + min_disparity - half
+    y_min = half
+    y_max = h - half
+    return (x_min, y_min, x_max - x_min, y_max - y_min)
+
+
 def colorize_points(scene) -> None:
     """Fill scene.colors by sampling each point's first-origin pixel pair and
     averaging, one image load per shot (ref: Scene::colorizePointcloud,
