@@ -29,6 +29,7 @@ from sfm_mvs_pipeline_tpu.sfm.ba import (
     BAConfig,
     ba_backsub_points,
     ba_build_core,
+    build_shot_table,
     build_track_table,
     compute_residuals,
 )
@@ -41,6 +42,7 @@ def shard_scene_by_points(
     obs_shot: np.ndarray,
     obs_uv: np.ndarray,
     obs_w: np.ndarray,
+    n_shots: int | None = None,
 ):
     """Partition points into n_dev contiguous shards balanced by obs count.
 
@@ -90,19 +92,33 @@ def shard_scene_by_points(
         ouv[d, :n] = obs_uv[sel]
         ow[d, :n] = obs_w[sel]
 
-    # local track tables (indices into the local obs arrays)
-    L = 4
-    tabs = []
-    for d in range(n_dev):
-        t = build_track_table(op[d], ow[d], P_loc)
-        tabs.append(t)
-        L = max(L, t.shape[1])
-    tab = np.full((n_dev, P_loc, L), -1, np.int32)
-    for d in range(n_dev):
-        tab[d, :, : tabs[d].shape[1]] = tabs[d]
+    # local tables (indices into the local obs arrays): fast (P_loc, S) shot
+    # tables when every shard is duplicate-free, else (P_loc, L) track tables
+    table_kind = "track"
+    if n_shots is not None:
+        stabs = [
+            build_shot_table(op[d], osr[d], ow[d], P_loc, n_shots)
+            for d in range(n_dev)
+        ]
+        if all(t is not None for t in stabs):
+            table_kind = "shot"
+            tab = np.stack(stabs)
+    if table_kind == "track":
+        L = 4
+        tabs = []
+        for d in range(n_dev):
+            t = build_track_table(op[d], ow[d], P_loc)
+            tabs.append(t)
+            L = max(L, t.shape[1])
+        tab = np.full((n_dev, P_loc, L), -1, np.int32)
+        for d in range(n_dev):
+            tab[d, :, : tabs[d].shape[1]] = tabs[d]
 
     shards.update(
-        {"obs_point": op, "obs_shot": osr, "obs_uv": ouv, "obs_w": ow, "track_tab": tab}
+        {
+            "obs_point": op, "obs_shot": osr, "obs_uv": ouv, "obs_w": ow,
+            "track_tab": tab, "table_kind": table_kind,
+        }
     )
     return shards
 
@@ -131,9 +147,10 @@ def run_bundle_adjustment_sharded(
     dt = jax.dtypes.canonicalize_dtype(points.dtype)
 
     sh = shard_scene_by_points(
-        n_dev, points, obs_point, obs_shot, obs_uv, obs_w
+        n_dev, points, obs_point, obs_shot, obs_uv, obs_w, n_shots=n_shots
     )
     P_loc = sh["points"].shape[1]
+    table_kind = sh["table_kind"]
 
     dev = lambda x: jnp.asarray(x)
     pos = dev(poses)
@@ -166,6 +183,7 @@ def run_bundle_adjustment_sharded(
             pts_s[0], pos_, K_, cams_, op_s[0], os_s[0], ouv_s[0], ow_s[0],
             tab_s[0], lam_, imask_, pfree_,
             n_shots=n_shots, n_cams=n_cams, axis_name=DATA_AXIS,
+            table_kind=table_kind,
         )
         S_red, rhs, Bp, gp, cost, Wc, Wi = out
         return S_red, rhs, Bp[None], gp[None], cost, Wc[None], Wi[None]
@@ -180,11 +198,11 @@ def run_bundle_adjustment_sharded(
         ),
         out_specs=(spec_shard, spec_rep, spec_rep),
     )
-    def backsub(dcam_, Bp_s, gp_s, Wc_s, Wi_s, tab_s, os_sh, oc_sh, _unused):
+    def backsub(dcam_, Bp_s, gp_s, Wc_s, Wi_s, tab_s, os_sh, oc_sh, cams_):
         dX, dpose, dintr = ba_backsub_points(
             dcam_, Bp_s[0], gp_s[0], Wc_s[0], Wi_s[0], tab_s[0],
-            os_sh[0], oc_sh[0],
-            n_shots=n_shots, n_cams=n_cams,
+            os_sh[0], cams_ if table_kind == "shot" else oc_sh[0],
+            n_shots=n_shots, n_cams=n_cams, table_kind=table_kind,
         )
         return dX[None], dpose, dintr
 

@@ -45,7 +45,10 @@ import numpy as np
 
 from sfm_mvs_pipeline_tpu.models.cameras import reprojection_residuals
 
-CHUNK = 4096  # points per Schur-assembly chunk
+CHUNK = 4096  # points per Schur-assembly chunk (table-based paths)
+# dense (P, S) grid eligibility: ~16M slots keeps the (P, S, 2, 16) Jacobian
+# tensor near 4 GB peak in f32 — comfortable on one v5e chip
+DENSE_GRID_MAX_SLOTS = 16 * 1024 * 1024
 
 
 @dataclasses.dataclass
@@ -58,6 +61,15 @@ class BAConfig:
     lambda_down: float = 0.5
     min_lambda: float = 1e-10
     max_lambda: float = 1e8
+    # "device": the whole LM loop runs as ONE lax.while_loop program with an
+    #   equilibrated on-device Cholesky of the reduced camera system — zero
+    #   host round trips per iteration (each device->host fetch costs ~40 ms
+    #   through the remote-TPU tunnel, which dominated the per-iteration time
+    #   of the host driver).
+    # "host": one build per iteration with the reduced solve on the host in
+    #   float64 (the conservative fallback; also the oracle the device path
+    #   is tested against).
+    solver: str = "device"
 
 
 def build_track_table(
@@ -90,6 +102,66 @@ def build_track_table(
     keep = rank < L
     table[pts_sorted[keep], rank[keep]] = idx_sorted[keep]
     return table
+
+
+def build_shot_table(
+    obs_point: np.ndarray,
+    obs_shot: np.ndarray,
+    obs_weight: np.ndarray,
+    n_points: int,
+    n_shots: int,
+) -> np.ndarray | None:
+    """Host-side: (P, S) table of the observation index of point p in shot s
+    (pad = -1), or None if some (point, shot) has more than one live
+    observation (possible after track merges — then the caller falls back to
+    the (P, L) track table).
+
+    This is the key to the fast Schur assembly: with at most one observation
+    per (point, shot), the per-point camera row U_p is a pure GATHER
+    Wc[tab[p]] laid out along the shot axis — no one-hot contraction over
+    track slots, and the Schur correction collapses to one large MXU matmul.
+    """
+    live = np.nonzero(obs_weight > 0)[0]
+    key = obs_point[live].astype(np.int64) * n_shots + obs_shot[live]
+    uniq, first = np.unique(key, return_index=True)
+    if len(uniq) != len(key):
+        return None
+    table = np.full((n_points, n_shots), -1, dtype=np.int32)
+    table[uniq // n_shots, uniq % n_shots] = live[first]
+    return table
+
+
+def pack_dense_obs(
+    obs_point: np.ndarray,
+    obs_shot: np.ndarray,
+    obs_uv: np.ndarray,
+    obs_w: np.ndarray,
+    n_points: int,
+    n_shots: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Host-side: repack the observation list as a dense (P, S) visibility
+    grid — uv_ps (P, S, 2) and weights w_ps (P, S) (0 = not observed).
+
+    Returns None when some (point, shot) has more than one live observation
+    (possible after track merges; the caller falls back to the track table).
+
+    This layout is what makes the BA build gather-free on TPU: every tensor
+    indexes points/shots BY POSITION, so the whole Schur assembly lowers to
+    dense broadcast math + one big MXU matmul, with zero dynamic-gather ops
+    (TPU gathers were the remaining hot spot of the table-based path).
+    """
+    live = np.nonzero(obs_w > 0)[0]
+    key = obs_point[live].astype(np.int64) * n_shots + obs_shot[live]
+    uniq, first = np.unique(key, return_index=True)
+    if len(uniq) != len(key):
+        return None
+    uv_ps = np.zeros((n_points, n_shots, 2), obs_uv.dtype)
+    w_ps = np.zeros((n_points, n_shots), obs_w.dtype)
+    rows = uniq // n_shots
+    cols = uniq % n_shots
+    uv_ps[rows, cols] = obs_uv[live[first]]
+    w_ps[rows, cols] = obs_w[live[first]]
+    return uv_ps, w_ps
 
 
 def _pack_params(points, poses, intr):
@@ -166,13 +238,14 @@ def ba_build_core(
     obs_shot,
     obs_uv,
     obs_w,
-    track_tab,  # (P, L) int32, -1 pad, LOCAL obs indices
+    track_tab,  # (P, L) int32 track table OR (P, S) shot table, -1 pad, LOCAL obs indices
     lam,
     intr_mask,  # (C, 7) f32 — per-camera optimizable-intrinsics mask
     pose_free,  # (S,) f32 — 1 where the shot pose is optimized
     n_shots: int,
     n_cams: int,
     axis_name: str | None = None,
+    table_kind: str = "track",
 ):
     """Assemble the Schur-reduced camera system (single-shard body).
 
@@ -257,27 +330,46 @@ def ba_build_core(
     g_full = jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
 
     # ---- point blocks + Schur correction, chunk-scanned over points
-    # All point-side reductions (Hpp, gp) use TRACK-TABLE GATHERS rather than
-    # segment_sum scatters — gathers vectorize on TPU. Exactness requires the
-    # table capacity L to cover every live observation of a point
-    # (build_track_table caps at 64; longer tracks are truncated there).
+    # All point-side reductions (Hpp, gp) use TABLE GATHERS rather than
+    # segment_sum scatters — gathers vectorize on TPU.
+    #
+    # Two table layouts:
+    #  * "shot" (P, S): at most one observation per (point, shot) — the per-
+    #    point camera row U_p is a pure gather laid out along the shot axis
+    #    and the Schur correction is one big (3P, D)^T (3P, D) MXU matmul.
+    #    ~4x faster than the track path (no one-hot contraction over slots).
+    #  * "track" (P, L): the general fallback (duplicate (point, shot)
+    #    observations possible after merges); U_p is assembled with one-hot
+    #    matmuls over the L slots. Exactness requires L to cover every live
+    #    observation of a point (build_track_table caps at 64).
     Wc = jnp.einsum("oai,oaj->oij", Jp, Jc)  # (O, 3, 6)
     Wi = jnp.einsum("oai,oaj->oij", Jp, Ji)  # (O, 3, 7)
 
     Pp = track_tab.shape[0]
-    n_chunks = (Pp + CHUNK - 1) // CHUNK
-    pad = n_chunks * CHUNK - Pp
+    slots = track_tab.shape[1]
+    # memory-adaptive chunk: bound the gathered (CH, slots, 3, 7) and dense
+    # (CH, 3, D) intermediates to ~32M f32 elements
+    budget = 32 * 1024 * 1024
+    per_point = max(slots * 27, 6 * D)
+    ch = 1024
+    while ch * 2 <= Pp and (ch * 2) * per_point <= budget:
+        ch *= 2
+    n_chunks = (Pp + ch - 1) // ch
+    pad = n_chunks * ch - Pp
     tab = jnp.concatenate(
-        [track_tab, jnp.full((pad, track_tab.shape[1]), -1, jnp.int32)], axis=0
-    ).reshape(n_chunks, CHUNK, -1)
+        [track_tab, jnp.full((pad, slots), -1, jnp.int32)], axis=0
+    ).reshape(n_chunks, ch, slots)
+
+    if table_kind == "shot":
+        oh_cam = jax.nn.one_hot(cam_of_shot, n_cams, dtype=dt)  # (S, C)
 
     def chunk_body(carry, tab_c):
         S_acc, rhs_acc = carry
         validL = tab_c >= 0
         safe = jnp.where(validL, tab_c, 0)
         wL = validL.astype(dt)
-        Jp_t = Jp[safe] * wL[..., None, None]  # (CH, L, 2, 3)
-        r_t = r[safe] * wL[..., None]  # (CH, L, 2)
+        Jp_t = Jp[safe] * wL[..., None, None]  # (CH, slots, 2, 3)
+        r_t = r[safe] * wL[..., None]  # (CH, slots, 2)
         Hpp_c = jnp.einsum("plai,plaj->pij", Jp_t, Jp_t)  # (CH, 3, 3)
         gp_c = jnp.einsum("plai,pla->pi", Jp_t, r_t)  # (CH, 3)
         damped = Hpp_c + lam * _diag_embed(
@@ -288,23 +380,33 @@ def ba_build_core(
         )
         Bp_c = _inv3x3(damped)
 
-        Wc_t = Wc[safe] * wL[..., None, None]  # (CH, L, 3, 6)
-        Wi_t = Wi[safe] * wL[..., None, None]  # (CH, L, 3, 7)
-        s_t = obs_shot[safe]
-        c_t = obs_cam[safe]
+        Wc_t = Wc[safe] * wL[..., None, None]  # (CH, slots, 3, 6)
+        Wi_t = Wi[safe] * wL[..., None, None]  # (CH, slots, 3, 7)
 
-        # dense per-point camera row U (CH, 3, D) via one-hot placement (MXU)
-        oh_s2 = jax.nn.one_hot(s_t, n_shots, dtype=dt)  # (CH, L, S)
-        oh_c2 = jax.nn.one_hot(c_t, n_cams, dtype=dt)
-        U_pose = jnp.einsum("plij,pls->pisj", Wc_t, oh_s2).reshape(
-            -1, 3, n_shots * 6
-        )
-        U_intr = jnp.einsum("plij,plc->picj", Wi_t, oh_c2).reshape(
-            -1, 3, n_cams * 7
-        )
+        if table_kind == "shot":
+            # slots == n_shots: U_pose is just a transpose of the gather
+            U_pose = jnp.transpose(Wc_t, (0, 2, 1, 3)).reshape(
+                -1, 3, n_shots * 6
+            )
+            U_intr = jnp.einsum("psij,sc->picj", Wi_t, oh_cam).reshape(
+                -1, 3, n_cams * 7
+            )
+        else:
+            s_t = obs_shot[safe]
+            c_t = obs_cam[safe]
+            # dense per-point camera row U (CH, 3, D) via one-hot placement
+            oh_s2 = jax.nn.one_hot(s_t, n_shots, dtype=dt)  # (CH, L, S)
+            oh_c2 = jax.nn.one_hot(c_t, n_cams, dtype=dt)
+            U_pose = jnp.einsum("plij,pls->pisj", Wc_t, oh_s2).reshape(
+                -1, 3, n_shots * 6
+            )
+            U_intr = jnp.einsum("plij,plc->picj", Wi_t, oh_c2).reshape(
+                -1, 3, n_cams * 7
+            )
         U = jnp.concatenate([U_pose, U_intr], axis=-1)  # (CH, 3, D)
 
         BU = jnp.einsum("pab,pbd->pad", Bp_c, U)  # (CH, 3, D)
+        # one tall-skinny MXU matmul: (D, 3CH) @ (3CH, D)
         S_corr = jnp.einsum("pad,pae->de", U, BU)  # (D, D)
         rhs_corr = jnp.einsum(
             "pad,pa->d", U, jnp.einsum("pab,pb->pa", Bp_c, gp_c)
@@ -337,7 +439,7 @@ def ba_build_core(
 
 
 ba_build_reduced = partial(
-    jax.jit, static_argnames=("n_shots", "n_cams", "axis_name")
+    jax.jit, static_argnames=("n_shots", "n_cams", "axis_name", "table_kind")
 )(ba_build_core)
 
 
@@ -346,9 +448,10 @@ def _diag_embed(d):
     return jnp.einsum("...i,ij->...ij", d, jnp.eye(d.shape[-1], dtype=d.dtype))
 
 
-@partial(jax.jit, static_argnames=("n_shots", "n_cams"))
+@partial(jax.jit, static_argnames=("n_shots", "n_cams", "table_kind"))
 def ba_backsub_points(
-    dcam, Bp, gp, Wc, Wi, track_tab, obs_shot, obs_cam, n_shots: int, n_cams: int
+    dcam, Bp, gp, Wc, Wi, track_tab, obs_shot, obs_cam,
+    n_shots: int, n_cams: int, table_kind: str = "track",
 ):
     """Back-substitute the point update: dX_p = -Bp (gp + Hpc_p dcam)."""
     dpose = dcam[: 6 * n_shots].reshape(n_shots, 6)
@@ -356,14 +459,363 @@ def ba_backsub_points(
     validL = track_tab >= 0
     safe = jnp.where(validL, track_tab, 0)
     w = validL.astype(Bp.dtype)
-    # sum_i Wc_i dpose_{s_i} + Wi_i dintr_{c_i}  per point
-    contrib = (
-        jnp.einsum("plij,plj->pli", Wc[safe], dpose[obs_shot[safe]])
-        + jnp.einsum("plij,plj->pli", Wi[safe], dintr[obs_cam[safe]])
-    ) * w[..., None]
+    if table_kind == "shot":
+        # slot axis IS the shot axis: no per-observation index gathers.
+        # In this mode the obs_cam argument must be cam_of_shot (S,).
+        contrib = (
+            jnp.einsum("psij,sj->psi", Wc[safe], dpose)
+            + jnp.einsum("psij,sj->psi", Wi[safe], dintr[obs_cam])
+        ) * w[..., None]
+    else:
+        # sum_i Wc_i dpose_{s_i} + Wi_i dintr_{c_i}  per point
+        contrib = (
+            jnp.einsum("plij,plj->pli", Wc[safe], dpose[obs_shot[safe]])
+            + jnp.einsum("plij,plj->pli", Wi[safe], dintr[obs_cam[safe]])
+        ) * w[..., None]
     hpc_dc = jnp.sum(contrib, axis=1)  # (P, 3)
     dX = -jnp.einsum("pab,pb->pa", Bp, gp + hpc_dc)
     return dX, dpose, dintr
+
+
+def equilibrated_cholesky_solve(S, rhs):
+    """Solve S x = rhs on device in working precision.
+
+    Jacobi equilibration (scale by 1/sqrt(diag)) brings the reduced camera
+    system's condition number down to where an f32 Cholesky is accurate; one
+    iterative-refinement step recovers most of the remaining residual. Rows
+    whose diagonal is ~0 (fully frozen parameters, e.g. masked intrinsics)
+    are identity-pinned exactly like the host-f64 path. A non-PD system (LM
+    lambda too small near gauge directions) yields NaNs, which the LM loop
+    treats as a rejected step — the same self-healing Ceres relies on.
+    """
+    dt = S.dtype
+    diag = jnp.diagonal(S)
+    dead = diag <= 1e-12
+    d = jnp.where(dead, 1.0, jax.lax.rsqrt(jnp.maximum(diag, 1e-20)))
+    Ss = S * d[:, None] * d[None, :]
+    live2 = (~dead)[:, None] & (~dead)[None, :]
+    Ss = jnp.where(live2, Ss, 0.0) + jnp.diag(dead.astype(dt))
+    b = jnp.where(dead, 0.0, rhs * d)
+    L = jnp.linalg.cholesky(Ss)
+    solve_lo = partial(jax.scipy.linalg.solve_triangular, lower=True)
+    solve_up = partial(jax.scipy.linalg.solve_triangular, lower=False)
+    x = solve_up(L.T, solve_lo(L, b))
+    r = b - Ss @ x  # one refinement step in the equilibrated frame
+    x = x + solve_up(L.T, solve_lo(L, r))
+    return x * d
+
+
+def ba_lm_core(
+    pts, pos, K, cams, op, os_, ouv, ow, tab, imask, pfree,
+    ftol, lam0, lam_up, lam_down, min_lam, max_lam,
+    n_shots: int, n_cams: int, max_iterations: int,
+    axis_name: str | None = None, table_kind: str = "track",
+):
+    """The full LM optimization as ONE device program (lax.while_loop).
+
+    Single-chip when axis_name is None; inside shard_map (points/observations
+    sharded, reduced system psum'd by ba_build_core) when axis_name is given —
+    then the tiny equilibrated solve runs replicated on every chip, which is
+    cheaper than any host detour.
+
+    Returns (pts, pos, K, cost, iters, converged).
+    """
+    obs_cam = cams if table_kind == "shot" else cams[os_]
+    _, cost0 = compute_residuals(pts, pos, K, cams, op, os_, ouv, ow)
+    if axis_name is not None:
+        cost0 = jax.lax.psum(cost0, axis_name)
+    dt = pts.dtype
+    i32 = jnp.int32
+
+    def cond(st):
+        return (st["it"] < max_iterations) & (~st["done"])
+
+    def body(st):
+        S_red, rhs, Bp, gp, _, Wc, Wi = ba_build_core(
+            st["pts"], st["pos"], st["K"], cams, op, os_, ouv, ow, tab,
+            st["lam"], imask, pfree,
+            n_shots=n_shots, n_cams=n_cams, axis_name=axis_name,
+            table_kind=table_kind,
+        )
+        dcam = equilibrated_cholesky_solve(S_red, rhs)
+        dX, dpose, dintr = ba_backsub_points(
+            dcam, Bp, gp, Wc, Wi, tab, os_, obs_cam,
+            n_shots=n_shots, n_cams=n_cams, table_kind=table_kind,
+        )
+        new_pts = st["pts"] + dX
+        new_pos = st["pos"] + dpose * pfree[:, None]
+        new_K = st["K"] + dintr * imask
+        _, new_cost = compute_residuals(
+            new_pts, new_pos, new_K, cams, op, os_, ouv, ow
+        )
+        if axis_name is not None:
+            new_cost = jax.lax.psum(new_cost, axis_name)
+        accept = jnp.isfinite(new_cost) & (new_cost < st["cost"])
+        rel = (st["cost"] - new_cost) / jnp.maximum(st["cost"], 1e-30)
+        conv = accept & (rel < ftol)
+        new_lam = jnp.where(
+            accept,
+            jnp.maximum(st["lam"] * lam_down, min_lam),
+            st["lam"] * lam_up,
+        )
+        return {
+            "pts": jnp.where(accept, new_pts, st["pts"]),
+            "pos": jnp.where(accept, new_pos, st["pos"]),
+            "K": jnp.where(accept, new_K, st["K"]),
+            "cost": jnp.where(accept, new_cost, st["cost"]),
+            "lam": new_lam,
+            "it": st["it"] + 1,
+            "done": conv | ((~accept) & (new_lam > max_lam)),
+            "conv": st["conv"] | conv,
+        }
+
+    init = {
+        "pts": pts, "pos": pos, "K": K, "cost": cost0,
+        "lam": jnp.asarray(lam0, dt), "it": jnp.asarray(0, i32),
+        "done": jnp.asarray(False), "conv": jnp.asarray(False),
+    }
+    if axis_name is not None:
+        # shard-varying + replicated leaves coexist in the carry; make the
+        # replicated ones explicitly varying so the while_loop carry is
+        # VMA-consistent under shard_map
+        init = jax.lax.pcast(init, axis_name, to="varying")
+    st = jax.lax.while_loop(cond, body, init)
+    return st["pts"], st["pos"], st["K"], st["cost"], st["it"], st["conv"]
+
+
+ba_lm_device = partial(
+    jax.jit,
+    static_argnames=(
+        "n_shots", "n_cams", "max_iterations", "axis_name", "table_kind"
+    ),
+)(ba_lm_core)
+
+
+# ---------------------------------------------------------------------------
+# Dense (P, S) visibility-grid formulation — zero dynamic gathers.
+# ---------------------------------------------------------------------------
+
+def compute_residuals_dense(points, poses, intr, cam_of_shot, uv_ps, w_ps):
+    """Residuals on the dense grid: r (P, S, 2) weighted, and total cost."""
+    K_s = intr[cam_of_shot]  # (S, 7)
+    uv, _ = jax.vmap(
+        lambda pose, k: project_points_flat(pose, k, points), in_axes=(0, 0)
+    )(poses, K_s)  # (S, P, 2)
+    r = (jnp.transpose(uv, (1, 0, 2)) - uv_ps) * w_ps[..., None]
+    return r, 0.5 * jnp.sum(r * r)
+
+
+def project_points_flat(pose, k, pts):
+    from sfm_mvs_pipeline_tpu.models.cameras import project_points
+
+    return project_points(pose, k, pts)
+
+
+def _dense_jacobians(points, poses, intr, cam_of_shot, uv_ps, w_ps):
+    """Per-slot Jacobians on the (P, S) grid via one vmapped jacfwd over the
+    packed 16-vector — same autodiff structure as _obs_jacobians, but indexed
+    by position (no observation gathers)."""
+    P, S = w_ps.shape
+
+    def res_one(z, uv, w):
+        return (
+            reprojection_residuals(z[3:9], z[9:16], z[:3][None], uv[None])[0] * w
+        )
+
+    K_s = intr[cam_of_shot]  # (S, 7)
+    z = jnp.concatenate(
+        [
+            jnp.broadcast_to(points[:, None, :], (P, S, 3)),
+            jnp.broadcast_to(poses[None, :, :], (P, S, 6)),
+            jnp.broadcast_to(K_s[None, :, :], (P, S, 7)),
+        ],
+        axis=-1,
+    ).reshape(P * S, 16)
+    uv_f = uv_ps.reshape(P * S, 2)
+    w_f = w_ps.reshape(P * S)
+    # Dead slots (w == 0) include PADDED zero-points whose projection has
+    # z ~ 0: the Jacobian there overflows f32 to inf, and inf * 0-weight is
+    # NaN. Evaluate dead slots at a benign constant input instead — their
+    # (weighted) residual and Jacobian are exactly zero either way.
+    benign = jnp.zeros((16,), z.dtype).at[2].set(1.0).at[9].set(1.0)
+    z = jnp.where((w_f > 0)[:, None], z, benign)
+    r = jax.vmap(res_one)(z, uv_f, w_f)
+    J = jax.vmap(jax.jacfwd(res_one))(z, uv_f, w_f)  # (P*S, 2, 16)
+    J = J.reshape(P, S, 2, 16)
+    return (
+        J[..., :3], J[..., 3:9], J[..., 9:16], r.reshape(P, S, 2)
+    )
+
+
+def ba_build_dense(
+    points, poses, intr, cam_of_shot, uv_ps, w_ps, lam, intr_mask, pose_free,
+    n_shots: int, n_cams: int, axis_name: str | None = None,
+):
+    """Gather-free Schur-reduced camera system on the dense (P, S) grid.
+
+    Same contract as ba_build_core (returns S_red, rhs, Bp, gp, cost, Wc, Wi
+    with Wc (P, S, 3, 6) / Wi (P, S, 3, 7) for dense back-substitution).
+    Under shard_map the POINT axis is sharded; the camera system psum-reduces
+    over `axis_name` exactly like the table-based core.
+    """
+    dt = points.dtype
+    P = points.shape[0]
+    D = 6 * n_shots + 7 * n_cams
+
+    Jp, Jc, Ji, r = _dense_jacobians(
+        points, poses, intr, cam_of_shot, uv_ps, w_ps
+    )
+    # frozen-parameter masks
+    Ji = Ji * intr_mask[cam_of_shot][None, :, None, :]
+    Jc = Jc * pose_free[None, :, None, None]
+
+    cost = 0.5 * jnp.sum(r * r)
+
+    # ---- camera blocks: plain sums over the point axis (no one-hots)
+    Hcc_pose = jnp.einsum("psai,psaj->sij", Jc, Jc)  # (S, 6, 6)
+    Hcc_cross = jnp.einsum("psai,psaj->sij", Jc, Ji)  # (S, 6, 7)
+    gc = jnp.einsum("psai,psa->si", Jc, r)  # (S, 6)
+    oh_cam = jax.nn.one_hot(cam_of_shot, n_cams, dtype=dt)  # (S, C)
+    Hcc_intr = jnp.einsum("psai,psaj,sc->cij", Ji, Ji, oh_cam)  # (C, 7, 7)
+    gi = jnp.einsum("psai,psa,sc->ci", Ji, r, oh_cam)  # (C, 7)
+
+    s_idx = jnp.arange(n_shots)
+    pp = (
+        jnp.zeros((n_shots, 6, n_shots, 6), dt)
+        .at[s_idx, :, s_idx, :]
+        .set(Hcc_pose)
+        .reshape(6 * n_shots, 6 * n_shots)
+    )
+    c_idx = jnp.arange(n_cams)
+    ii = (
+        jnp.zeros((n_cams, 7, n_cams, 7), dt)
+        .at[c_idx, :, c_idx, :]
+        .set(Hcc_intr)
+        .reshape(7 * n_cams, 7 * n_cams)
+    )
+    pi = (
+        jnp.zeros((n_shots, 6, n_cams, 7), dt)
+        .at[s_idx, :, cam_of_shot, :]
+        .set(Hcc_cross)
+        .reshape(6 * n_shots, 7 * n_cams)
+    )
+    Hcc = jnp.block([[pp, pi], [pi.T, ii]])
+    g_full = jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
+
+    # ---- point blocks
+    Hpp = jnp.einsum("psai,psaj->pij", Jp, Jp)  # (P, 3, 3)
+    gp = jnp.einsum("psai,psa->pi", Jp, r)  # (P, 3)
+    damped = Hpp + lam * _diag_embed(
+        jnp.maximum(
+            jnp.stack([Hpp[:, 0, 0], Hpp[:, 1, 1], Hpp[:, 2, 2]], axis=-1),
+            1e-8,
+        )
+    )
+    Bp = _inv3x3(damped)
+
+    # ---- Schur correction: U is a transpose away, S_corr one MXU matmul
+    Wc = jnp.einsum("psai,psaj->psij", Jp, Jc)  # (P, S, 3, 6)
+    Wi = jnp.einsum("psai,psaj->psij", Jp, Ji)  # (P, S, 3, 7)
+    U_pose = jnp.transpose(Wc, (0, 2, 1, 3)).reshape(P, 3, n_shots * 6)
+    U_intr = jnp.einsum("psij,sc->picj", Wi, oh_cam).reshape(P, 3, n_cams * 7)
+    U = jnp.concatenate([U_pose, U_intr], axis=-1)  # (P, 3, D)
+    BU = jnp.einsum("pab,pbd->pad", Bp, U)
+    S_corr = jnp.einsum("pad,pae->de", U, BU)  # (D, 3P) @ (3P, D)
+    rhs_corr = jnp.einsum("pad,pa->d", U, jnp.einsum("pab,pb->pa", Bp, gp))
+
+    if axis_name is not None:
+        Hcc = jax.lax.psum(Hcc, axis_name)
+        g_full = jax.lax.psum(g_full, axis_name)
+        S_corr = jax.lax.psum(S_corr, axis_name)
+        rhs_corr = jax.lax.psum(rhs_corr, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+
+    diagH = jnp.diagonal(Hcc)
+    Hcc = Hcc + jnp.diag(lam * jnp.maximum(diagH, 1e-8))
+    return Hcc - S_corr, -g_full + rhs_corr, Bp, gp, cost, Wc, Wi
+
+
+def ba_backsub_dense(dcam, Bp, gp, Wc, Wi, cam_of_shot, n_shots: int, n_cams: int):
+    """Dense-grid back-substitution: dX_p = -Bp (gp + Hpc_p dcam)."""
+    dpose = dcam[: 6 * n_shots].reshape(n_shots, 6)
+    dintr = dcam[6 * n_shots:].reshape(n_cams, 7)
+    contrib = (
+        jnp.einsum("psij,sj->psi", Wc, dpose)
+        + jnp.einsum("psij,sj->psi", Wi, dintr[cam_of_shot])
+    )
+    hpc_dc = jnp.sum(contrib, axis=1)
+    dX = -jnp.einsum("pab,pb->pa", Bp, gp + hpc_dc)
+    return dX, dpose, dintr
+
+
+def ba_lm_dense_core(
+    pts, pos, K, cams, uv_ps, w_ps, imask, pfree,
+    ftol, lam0, lam_up, lam_down, min_lam, max_lam,
+    n_shots: int, n_cams: int, max_iterations: int,
+    axis_name: str | None = None,
+):
+    """Fused LM on the dense (P, S) grid (see ba_lm_core for the loop
+    contract). Returns (pts, pos, K, cost, iters, converged)."""
+    _, cost0 = compute_residuals_dense(pts, pos, K, cams, uv_ps, w_ps)
+    if axis_name is not None:
+        cost0 = jax.lax.psum(cost0, axis_name)
+    dt = pts.dtype
+
+    def cond(st):
+        return (st["it"] < max_iterations) & (~st["done"])
+
+    def body(st):
+        S_red, rhs, Bp, gp, _, Wc, Wi = ba_build_dense(
+            st["pts"], st["pos"], st["K"], cams, uv_ps, w_ps,
+            st["lam"], imask, pfree,
+            n_shots=n_shots, n_cams=n_cams, axis_name=axis_name,
+        )
+        dcam = equilibrated_cholesky_solve(S_red, rhs)
+        dX, dpose, dintr = ba_backsub_dense(
+            dcam, Bp, gp, Wc, Wi, cams, n_shots=n_shots, n_cams=n_cams
+        )
+        new_pts = st["pts"] + dX
+        new_pos = st["pos"] + dpose * pfree[:, None]
+        new_K = st["K"] + dintr * imask
+        _, new_cost = compute_residuals_dense(
+            new_pts, new_pos, new_K, cams, uv_ps, w_ps
+        )
+        if axis_name is not None:
+            new_cost = jax.lax.psum(new_cost, axis_name)
+        accept = jnp.isfinite(new_cost) & (new_cost < st["cost"])
+        rel = (st["cost"] - new_cost) / jnp.maximum(st["cost"], 1e-30)
+        conv = accept & (rel < ftol)
+        new_lam = jnp.where(
+            accept,
+            jnp.maximum(st["lam"] * lam_down, min_lam),
+            st["lam"] * lam_up,
+        )
+        return {
+            "pts": jnp.where(accept, new_pts, st["pts"]),
+            "pos": jnp.where(accept, new_pos, st["pos"]),
+            "K": jnp.where(accept, new_K, st["K"]),
+            "cost": jnp.where(accept, new_cost, st["cost"]),
+            "lam": new_lam,
+            "it": st["it"] + 1,
+            "done": conv | ((~accept) & (new_lam > max_lam)),
+            "conv": st["conv"] | conv,
+        }
+
+    init = {
+        "pts": pts, "pos": pos, "K": K, "cost": cost0,
+        "lam": jnp.asarray(lam0, dt), "it": jnp.asarray(0, jnp.int32),
+        "done": jnp.asarray(False), "conv": jnp.asarray(False),
+    }
+    if axis_name is not None:
+        init = jax.lax.pcast(init, axis_name, to="varying")
+    st = jax.lax.while_loop(cond, body, init)
+    return st["pts"], st["pos"], st["K"], st["cost"], st["it"], st["conv"]
+
+
+ba_lm_dense = partial(
+    jax.jit,
+    static_argnames=("n_shots", "n_cams", "max_iterations", "axis_name"),
+)(ba_lm_dense_core)
 
 
 def run_bundle_adjustment(
@@ -418,7 +870,23 @@ def run_bundle_adjustment(
     import time as _time
 
     _tt0 = _time.perf_counter()
-    track_tab = build_track_table(obs_point, obs_w, P_pad)
+    # layout choice, fastest first:
+    #  * dense (P, S) visibility grid — gather-free build; needs <=1 obs per
+    #    (point, shot) and a bounded grid size
+    #  * (P, S) shot table — gathers, but no one-hot contraction
+    #  * (P, L) track table — the general fallback
+    dense = None
+    if P_pad * n_shots <= DENSE_GRID_MAX_SLOTS:
+        dense = pack_dense_obs(obs_point, obs_shot, obs_uv, obs_w, P_pad, n_shots)
+    if dense is not None:
+        track_tab, table_kind = None, "dense"
+        uv_ps, w_ps = dense
+    else:
+        shot_tab = build_shot_table(obs_point, obs_shot, obs_w, P_pad, n_shots)
+        if shot_tab is not None:
+            track_tab, table_kind = shot_tab, "shot"
+        else:
+            track_tab, table_kind = build_track_table(obs_point, obs_w, P_pad), "track"
     _tt1 = _time.perf_counter()
 
     dev = lambda x, d=dt: jnp.asarray(x, dtype=d)
@@ -434,10 +902,63 @@ def run_bundle_adjustment(
     pfree = dev(
         pose_free if pose_free is not None else np.ones(n_shots, dtype=np.float64)
     )
-    tab = jnp.asarray(track_tab)
-
-    jax.block_until_ready((pts, pos, K, cams, op, os_, ouv, ow, imask, pfree, tab))
+    if table_kind == "dense":
+        uv_ps_d = dev(uv_ps)
+        w_ps_d = dev(w_ps)
+        tab = None
+        jax.block_until_ready((pts, pos, K, cams, imask, pfree, uv_ps_d, w_ps_d))
+    else:
+        tab = jnp.asarray(track_tab)
+        jax.block_until_ready(
+            (pts, pos, K, cams, op, os_, ouv, ow, imask, pfree, tab)
+        )
     _tt2 = _time.perf_counter()
+
+    if cfg.solver == "device":
+        # one fused program: every LM iteration (build + equilibrated
+        # Cholesky + backsub + accept/reject) stays on device; the only
+        # fetch is the final state
+        if table_kind == "dense":
+            out_pts, out_pos, out_K, cost_d, iters_d, conv_d = ba_lm_dense(
+                pts, pos, K, cams, uv_ps_d, w_ps_d, imask, pfree,
+                cfg.function_tolerance, cfg.init_lambda, cfg.lambda_up,
+                cfg.lambda_down, cfg.min_lambda, cfg.max_lambda,
+                n_shots=n_shots, n_cams=n_cams,
+                max_iterations=cfg.max_iterations,
+            )
+        else:
+            out_pts, out_pos, out_K, cost_d, iters_d, conv_d = ba_lm_device(
+                pts, pos, K, cams, op, os_, ouv, ow, tab, imask, pfree,
+                cfg.function_tolerance, cfg.init_lambda, cfg.lambda_up,
+                cfg.lambda_down, cfg.min_lambda, cfg.max_lambda,
+                n_shots=n_shots, n_cams=n_cams,
+                max_iterations=cfg.max_iterations, table_kind=table_kind,
+            )
+        if verbose:
+            print(
+                f"  BA[device,{table_kind}]: setup {_tt1-_tt0:.2f}s transfers "
+                f"{_tt2-_tt1:.2f}s", flush=True,
+            )
+        return {
+            "points": np.array(out_pts, dtype=points.dtype)[:P],
+            "poses": np.array(out_pos, dtype=poses.dtype),
+            "intrinsics": np.array(out_K, dtype=intr.dtype),
+            "cost": float(cost_d),
+            "iterations": int(iters_d),
+            "converged": bool(conv_d),
+            "lambda": None,
+        }
+
+    if table_kind == "dense":
+        # host-solver iterations use the table paths; rebuild the shot/track
+        # table (the dense grid is a device-solver specialization)
+        shot_tab = build_shot_table(obs_point, obs_shot, obs_w, P_pad, n_shots)
+        if shot_tab is not None:
+            track_tab, table_kind = shot_tab, "shot"
+        else:
+            track_tab, table_kind = build_track_table(obs_point, obs_w, P_pad), "track"
+        tab = jnp.asarray(track_tab)
+
     _, cost = compute_residuals(pts, pos, K, cams, op, os_, ouv, ow)
     cost = float(cost)
     if verbose:
@@ -456,7 +977,7 @@ def run_bundle_adjustment(
         S_red, rhs_red, Bp, gp, _, Wc, Wi = ba_build_reduced(
             pts, pos, K, cams, op, os_, ouv, ow, tab,
             jnp.asarray(lam, dtype=dt), imask, pfree,
-            n_shots=n_shots, n_cams=n_cams,
+            n_shots=n_shots, n_cams=n_cams, table_kind=table_kind,
         )
         # host f64 solve of the small reduced system
         jax.block_until_ready(S_red)
@@ -477,7 +998,8 @@ def run_bundle_adjustment(
         dcam_dev = dev(dcam)
         dX, dpose, dintr = ba_backsub_points(
             dcam_dev, Bp, gp, Wc, Wi, tab, os_,
-            cams[os_], n_shots=n_shots, n_cams=n_cams,
+            cams if table_kind == "shot" else cams[os_],
+            n_shots=n_shots, n_cams=n_cams, table_kind=table_kind,
         )
         new_pts = pts + dX
         new_pos = pos + dpose * pfree[:, None]

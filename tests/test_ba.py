@@ -104,3 +104,27 @@ def test_ba_f32_device_dtype(synthetic_scene, rng):
     )
     rms = np.sqrt(2 * out["cost"] / len(arrays[6]))
     assert rms < 0.3, f"f32 rms {rms}"
+
+
+def test_ba_device_matches_host_solver(synthetic_scene, rng):
+    """The fused on-device LM (f32 equilibrated Cholesky) must land on the
+    same optimum as the conservative host-f64 driver."""
+    arrays = _scene_arrays(synthetic_scene, rng)
+    intr_mask = np.zeros((1, 7))
+    intr_mask[0, list(CAMERA_MODELS["simple-radial"].opt_mask)] = 1.0
+
+    host = run_bundle_adjustment(
+        *[a.copy() for a in arrays], intr_mask=intr_mask,
+        config=BAConfig(max_iterations=30, solver="host"),
+    )
+    dev = run_bundle_adjustment(
+        *[a.astype(np.float32) if a.dtype.kind == "f" else a for a in arrays],
+        intr_mask=intr_mask,
+        config=BAConfig(max_iterations=30, solver="device"),
+    )
+    n_obs = len(arrays[6])
+    rms_host = np.sqrt(2 * host["cost"] / n_obs)
+    rms_dev = np.sqrt(2 * dev["cost"] / n_obs)
+    assert rms_dev < max(2 * rms_host, 0.05), (rms_dev, rms_host)
+    # recovered geometry agrees (perfect-observation scene, both near GT)
+    np.testing.assert_allclose(dev["poses"], host["poses"], atol=2e-3)
