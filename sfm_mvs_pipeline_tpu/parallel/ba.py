@@ -26,12 +26,15 @@ from jax.sharding import PartitionSpec as P
 
 from sfm_mvs_pipeline_tpu.parallel.mesh import DATA_AXIS
 from sfm_mvs_pipeline_tpu.sfm.ba import (
+    DENSE_GRID_MAX_SLOTS,
     BAConfig,
     ba_backsub_points,
     ba_build_core,
+    ba_lm_dense_core,
     build_shot_table,
     build_track_table,
     compute_residuals,
+    pack_dense_obs,
 )
 
 
@@ -92,9 +95,27 @@ def shard_scene_by_points(
         ouv[d, :n] = obs_uv[sel]
         ow[d, :n] = obs_w[sel]
 
-    # local tables (indices into the local obs arrays): fast (P_loc, S) shot
-    # tables when every shard is duplicate-free, else (P_loc, L) track tables
+    # local tables (indices into the local obs arrays), fastest first:
+    # dense (P_loc, S) visibility grids (gather-free build) when every shard
+    # is duplicate-free and the grid is small enough; (P_loc, S) shot tables;
+    # (P_loc, L) track tables as the general fallback
     table_kind = "track"
+    if n_shots is not None and n_dev * P_loc * n_shots <= DENSE_GRID_MAX_SLOTS:
+        packs = [
+            pack_dense_obs(op[d], osr[d], ouv[d], ow[d], P_loc, n_shots)
+            for d in range(n_dev)
+        ]
+        if all(p is not None for p in packs):
+            shards.update(
+                {
+                    "obs_point": op, "obs_shot": osr, "obs_uv": ouv,
+                    "obs_w": ow,
+                    "uv_ps": np.stack([p[0] for p in packs]),
+                    "w_ps": np.stack([p[1] for p in packs]),
+                    "table_kind": "dense",
+                }
+            )
+            return shards
     if n_shots is not None:
         stabs = [
             build_shot_table(op[d], osr[d], ow[d], P_loc, n_shots)
@@ -121,6 +142,81 @@ def shard_scene_by_points(
         }
     )
     return shards
+
+
+def _run_sharded_dense(
+    mesh, sh, points, poses, intr, cam_of_shot, intr_mask, pose_free,
+    cfg, n_dev, n_shots, n_cams,
+):
+    """Fused distributed LM: the ENTIRE optimization is one shard_map
+    program — per-shard gather-free dense Schur assembly, psum of the
+    (D, D) camera system over the mesh axis, replicated equilibrated
+    Cholesky, shard-local back-substitution, on-device accept/reject loop.
+    Zero host round trips per iteration (the table-based path below pays
+    ~3 tunnel fetches per iteration)."""
+    dt = jax.dtypes.canonicalize_dtype(points.dtype)
+    dev = lambda x: jnp.asarray(x, dt)
+    pos = dev(poses)
+    K = dev(intr)
+    cams = jnp.asarray(cam_of_shot, jnp.int32)
+    imask = dev(intr_mask)
+    pfree = dev(
+        pose_free if pose_free is not None else np.ones(n_shots, dtype=dt)
+    )
+    pts_s = dev(sh["points"])
+    uv_s = dev(sh["uv_ps"])
+    w_s = dev(sh["w_ps"])
+
+    spec_shard = P(DATA_AXIS)
+    spec_rep = P()
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            spec_shard, spec_shard, spec_shard,
+            spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
+        ),
+        out_specs=(
+            spec_shard, spec_shard, spec_shard, spec_shard, spec_shard,
+            spec_shard,
+        ),
+    )
+    def lm_all(pts_l, uv_l, w_l, pos_, K_, cams_, imask_, pfree_):
+        out = ba_lm_dense_core(
+            pts_l[0], pos_, K_, cams_, uv_l[0], w_l[0], imask_, pfree_,
+            cfg.function_tolerance, cfg.init_lambda, cfg.lambda_up,
+            cfg.lambda_down, cfg.min_lambda, cfg.max_lambda,
+            n_shots=n_shots, n_cams=n_cams,
+            max_iterations=cfg.max_iterations, axis_name=DATA_AXIS,
+        )
+        pts_o, pos_o, K_o, cost_o, it_o, conv_o = out
+        # everything in the fused carry is axis-varying; return all leaves
+        # with a leading shard dim and let the host read replica 0
+        return (
+            pts_o[None], pos_o[None], K_o[None],
+            cost_o[None], it_o[None], conv_o[None],
+        )
+
+    pts_o, pos_o, K_o, cost_o, it_o, conv_o = lm_all(
+        pts_s, uv_s, w_s, pos, K, cams, imask, pfree
+    )
+
+    out_points = np.array(points, copy=True)
+    pts_host = np.asarray(pts_o)
+    ids = sh["point_ids"]
+    for d in range(n_dev):
+        valid = ids[d] >= 0
+        out_points[ids[d][valid]] = pts_host[d][valid]
+    return {
+        "points": out_points,
+        "poses": np.array(pos_o[0], dtype=poses.dtype),
+        "intrinsics": np.array(K_o[0], dtype=intr.dtype),
+        "cost": float(np.asarray(cost_o)[0]),
+        "iterations": int(np.asarray(it_o)[0]),
+        "converged": bool(np.asarray(conv_o)[0]),
+    }
 
 
 def run_bundle_adjustment_sharded(
@@ -151,6 +247,12 @@ def run_bundle_adjustment_sharded(
     )
     P_loc = sh["points"].shape[1]
     table_kind = sh["table_kind"]
+
+    if table_kind == "dense":
+        return _run_sharded_dense(
+            mesh, sh, points, poses, intr, cam_of_shot, intr_mask,
+            pose_free, cfg, n_dev, n_shots, n_cams,
+        )
 
     dev = lambda x: jnp.asarray(x)
     pos = dev(poses)

@@ -477,6 +477,19 @@ def ba_backsub_points(
     return dX, dpose, dintr
 
 
+def _pvary_tree(tree, axis_name):
+    """Mark every still-invariant leaf as device-varying over axis_name
+    (leaves that are already varying — e.g. sharded points — pass through)."""
+
+    def f(x):
+        aval = jax.typeof(x)
+        if axis_name in getattr(aval, "vma", ()):
+            return x
+        return jax.lax.pcast(x, axis_name, to="varying")
+
+    return jax.tree.map(f, tree)
+
+
 def equilibrated_cholesky_solve(S, rhs):
     """Solve S x = rhs on device in working precision.
 
@@ -558,7 +571,7 @@ def ba_lm_core(
             jnp.maximum(st["lam"] * lam_down, min_lam),
             st["lam"] * lam_up,
         )
-        return {
+        out = {
             "pts": jnp.where(accept, new_pts, st["pts"]),
             "pos": jnp.where(accept, new_pos, st["pos"]),
             "K": jnp.where(accept, new_K, st["K"]),
@@ -568,6 +581,7 @@ def ba_lm_core(
             "done": conv | ((~accept) & (new_lam > max_lam)),
             "conv": st["conv"] | conv,
         }
+        return _pvary_tree(out, axis_name) if axis_name is not None else out
 
     init = {
         "pts": pts, "pos": pos, "K": K, "cost": cost0,
@@ -578,7 +592,7 @@ def ba_lm_core(
         # shard-varying + replicated leaves coexist in the carry; make the
         # replicated ones explicitly varying so the while_loop carry is
         # VMA-consistent under shard_map
-        init = jax.lax.pcast(init, axis_name, to="varying")
+        init = _pvary_tree(init, axis_name)
     st = jax.lax.while_loop(cond, body, init)
     return st["pts"], st["pos"], st["K"], st["cost"], st["it"], st["conv"]
 
@@ -790,7 +804,7 @@ def ba_lm_dense_core(
             jnp.maximum(st["lam"] * lam_down, min_lam),
             st["lam"] * lam_up,
         )
-        return {
+        out = {
             "pts": jnp.where(accept, new_pts, st["pts"]),
             "pos": jnp.where(accept, new_pos, st["pos"]),
             "K": jnp.where(accept, new_K, st["K"]),
@@ -800,6 +814,7 @@ def ba_lm_dense_core(
             "done": conv | ((~accept) & (new_lam > max_lam)),
             "conv": st["conv"] | conv,
         }
+        return _pvary_tree(out, axis_name) if axis_name is not None else out
 
     init = {
         "pts": pts, "pos": pos, "K": K, "cost": cost0,
@@ -807,7 +822,7 @@ def ba_lm_dense_core(
         "done": jnp.asarray(False), "conv": jnp.asarray(False),
     }
     if axis_name is not None:
-        init = jax.lax.pcast(init, axis_name, to="varying")
+        init = _pvary_tree(init, axis_name)
     st = jax.lax.while_loop(cond, body, init)
     return st["pts"], st["pos"], st["K"], st["cost"], st["it"], st["conv"]
 
