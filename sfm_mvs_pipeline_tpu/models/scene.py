@@ -48,6 +48,10 @@ class Scene:
 
     # ---- track index
     point_of_feat: np.ndarray  # (S, F) int32, -1 = unassigned
+    # fused-track redirects: dead point id -> surviving parent id (filled by
+    # the driver's merge pass; mirrors the reference's merge-into-parent,
+    # Scene.cpp:563-567)
+    point_alias: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def create(
@@ -147,13 +151,13 @@ class Scene:
     def find_2d3d(self, shot: int, pair_matches: dict) -> tuple:
         """3D->2D correspondences for an unrecovered shot via index joins.
 
-        pair_matches: {(a, b): (idx_a (M,), idx_b (M,))} compact match lists.
-        Returns (point_ids (N,), feat_ids (N,), uv (N, 2)) deduplicated on
-        (point, feature) like ShotMatches3d2d::getDistinct3d2dPoints
-        (ref: Scene.cpp:264-278).
+        pair_matches: {(a, b): (idx_a (M,), idx_b (M,), dist (M,))} compact
+        match lists. Returns (point_ids (N,), feat_ids (N,), uv (N, 2))
+        deduplicated on (point, feature) like
+        ShotMatches3d2d::getDistinct3d2dPoints (ref: Scene.cpp:264-278).
         """
         pids, fids = [], []
-        for (a, b), (ia, ib) in pair_matches.items():
+        for (a, b), (ia, ib, _dist) in pair_matches.items():
             if a == shot and self.recovered[b]:
                 other, idx_self, idx_other = b, ia, ib
             elif b == shot and self.recovered[a]:

@@ -137,7 +137,43 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
     valids = np.zeros((len(rec), h, w), bool)
     poses = scene.poses[rec].astype(np.float32)
 
-    for i, s in enumerate(rec):
+    import jax
+
+    if len(jax.devices()) > 1:
+        # per-view data parallelism over the device mesh (SURVEY.md §2.7 (4))
+        from sfm_mvs_pipeline_tpu.parallel.mesh import make_mesh
+        from sfm_mvs_pipeline_tpu.parallel.mvs import (
+            compute_depth_maps_sharded,
+            fixed_neighbor_table,
+        )
+
+        nbr_idx, nbr_valid = fixed_neighbor_table(
+            neighbors, rec, cfg.n_neighbors
+        )
+        planes_all = np.zeros((len(rec), cfg.n_planes), np.float32)
+        for i, s in enumerate(rec):
+            z_lo, z_hi = depth_range(scene, s)
+            planes_all[i] = np.asarray(
+                make_depth_planes(z_lo, z_hi, cfg.n_planes), np.float32
+            )
+        log(f"view-sharded depth estimation over {len(jax.devices())} devices")
+        depth_maps, valids = compute_depth_maps_sharded(
+            make_mesh(), grays, poses, intr_pinhole.astype(np.float32),
+            nbr_idx, nbr_valid, planes_all,
+            window_radius=cfg.window_radius, use_sgm=cfg.use_sgm,
+            sgm_p1=cfg.sgm_p1, sgm_p2=cfg.sgm_p2, max_cost=cfg.max_cost,
+        )
+        for i, s in enumerate(rec):
+            log(f"view {s}: {int(valids[i].sum())}/{h*w} valid px")
+            if cfg.keep_artifacts:
+                np.save(
+                    os.path.join(out_dir, f"depth_{s:04d}.npy"), depth_maps[i]
+                )
+        rec_loop = []
+    else:
+        rec_loop = list(enumerate(rec))
+
+    for i, s in rec_loop:
         nbrs = [idx_of[n] for n in neighbors.get(s, []) if n in idx_of]
         if not nbrs:
             log(f"view {s}: no neighbors, skipped")

@@ -89,10 +89,16 @@ def sweep_cost_volume(
     intr: jax.Array,  # (7,) shared intrinsics (scaled to this resolution)
     depths: jax.Array,  # (D,) plane depths
     window_radius: int = 3,
+    nbr_valid: jax.Array | None = None,  # (N,) bool — False = padded slot
 ) -> jax.Array:
     """Cost volume (D, H, W): mean over neighbors of (1 - ZNCC)/2 in [0, 1].
 
     Out-of-view samples cost 1 (worst). ZNCC window = (2r+1)^2 box.
+
+    nbr_valid enables FIXED-CAPACITY neighbor lists (needed by the
+    view-sharded path, parallel/mvs.py, where every view must have the same
+    shapes): padded slots cost 1 everywhere and the best-half aggregation
+    counts only valid neighbors.
     """
     h, w = ref_img.shape
     K = intrinsics_to_K(intr)
@@ -133,11 +139,20 @@ def sweep_cost_volume(
         return jax.lax.map(per_depth, Hs)  # (D, H, W)
 
     costs = jax.vmap(per_neighbor)(nbr_imgs, poses_n)  # (N, D, H, W)
-    # robust aggregation: mean of the best half of neighbors per (d, pixel)
     n = costs.shape[0]
-    k = max(1, (n + 1) // 2)
-    best = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]  # (D, H, W, k)
-    return jnp.mean(best, axis=-1)
+    if nbr_valid is None:
+        # robust aggregation: mean of the best half of neighbors per (d, px)
+        k = max(1, (n + 1) // 2)
+        best = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]  # (D, H, W, k)
+        return jnp.mean(best, axis=-1)
+    # masked variant: padded neighbors cost 1 (sort last); take the best
+    # ceil(n_valid/2) by position after an ascending sort along N
+    costs = jnp.where(nbr_valid[:, None, None, None], costs, 1.0)
+    srt = jnp.sort(jnp.moveaxis(costs, 0, -1), axis=-1)  # (D, H, W, N) asc
+    n_valid = jnp.sum(nbr_valid.astype(costs.dtype))
+    k_dyn = jnp.maximum(jnp.ceil(n_valid / 2.0), 1.0)
+    take = (jnp.arange(n, dtype=costs.dtype) < k_dyn).astype(costs.dtype)
+    return jnp.einsum("dhwn,n->dhw", srt, take) / k_dyn
 
 
 @jax.jit

@@ -155,13 +155,18 @@ def match_pair(
     distinct: bool = False,
     backend: Literal["jnp", "pallas", "auto"] = "auto",
     method: Literal["bf", "flann"] = "bf",
-) -> tuple[jax.Array, jax.Array]:
+    with_distance: bool = False,
+) -> tuple[jax.Array, ...]:
     """Match one descriptor set against another.
 
     Returns (best_idx (Fq,) int32, mask (Fq,) bool): query i matches target
     best_idx[i] where mask[i]. Matches the semantics of the reference's
     knnMatch + ratio(0.7) (+ optional distinct filter). method="flann"
     selects the approximate shortlist path (two_nn_approx).
+
+    with_distance=True appends the best L2 distance (Fq,) — the analogue of
+    cv::DMatch::distance, used by the track-fusion merge gate
+    (`-Ppointcloud-feature-merge-distance`; ref Scene.cpp:532).
     """
     if method == "flann":
         best_idx, best_sq, second_sq = two_nn_approx(
@@ -183,11 +188,16 @@ def match_pair(
     mask = ratio_test_mask(best_sq, second_sq, valid_q, ratio)
     if distinct:
         mask = distinct_filter(best_idx, mask)
+    if with_distance:
+        return best_idx, mask, jnp.sqrt(jnp.maximum(best_sq, 0.0))
     return best_idx, mask
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ratio", "distinct", "backend", "chunk", "method")
+    jax.jit,
+    static_argnames=(
+        "ratio", "distinct", "backend", "chunk", "method", "with_distance"
+    ),
 )
 def match_pairs_batch(
     descriptors: jax.Array,  # (S, F, D)
@@ -198,7 +208,8 @@ def match_pairs_batch(
     backend: Literal["jnp", "pallas", "auto"] = "auto",
     chunk: int = 8,
     method: Literal["bf", "flann"] = "bf",
-) -> tuple[jax.Array, jax.Array]:
+    with_distance: bool = False,
+) -> tuple[jax.Array, ...]:
     """Match every (left, right) pair in `pairs`.
 
     Returns (best_idx (P, F), mask (P, F)). The P axis is the framework's
@@ -217,7 +228,7 @@ def match_pairs_batch(
         vt = valid[pair[1]]
         return match_pair(
             dq, dt, vq, vt, ratio=ratio, distinct=distinct, backend=backend,
-            method=method,
+            method=method, with_distance=with_distance,
         )
 
     return jax.lax.map(one, pairs, batch_size=chunk)

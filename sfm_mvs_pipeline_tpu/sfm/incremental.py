@@ -135,7 +135,7 @@ def reconstruct(
 
     # ---- 1. match all candidate pairs (the sharded hot loop)
     log(f"matching {len(pairs)} pairs")
-    midx, mmask = M.match_pairs_batch(
+    midx, mmask, mdist = M.match_pairs_batch(
         jnp.asarray(scene.descriptors),
         jnp.asarray(scene.feat_valid),
         jnp.asarray(pairs),
@@ -143,9 +143,11 @@ def reconstruct(
         distinct=cfg.distinct_matches,
         backend=cfg.matcher_backend,
         method=cfg.matcher_method,
+        with_distance=True,
     )
     midx = np.asarray(midx)
     mmask = np.asarray(mmask)
+    mdist = np.asarray(mdist)
     counts = mmask.sum(axis=1)
     live = counts >= cfg.min_match_count  # ref min-match filter (SfM.cpp:566-570)
     log(f"pairs with >= {cfg.min_match_count} matches: {int(live.sum())}")
@@ -161,11 +163,13 @@ def reconstruct(
     intr_d = jnp.asarray(scene.intrinsics, _dt)
     kp_d = jnp.asarray(scene.keypoints, _dt)
 
-    pair_matches = {}  # (a, b) -> (idx_a, idx_b) compact
+    pair_matches = {}  # (a, b) -> (idx_a, idx_b, match_distance) compact
     for k_, (a, b) in enumerate(pairs):
         if live[k_]:
             q = np.nonzero(mmask[k_])[0]
-            pair_matches[(int(a), int(b))] = (q.astype(np.int32), midx[k_][q])
+            pair_matches[(int(a), int(b))] = (
+                q.astype(np.int32), midx[k_][q], mdist[k_][q]
+            )
 
     queue = {(int(a), int(b)) for k_, (a, b) in enumerate(pairs) if live[k_]}
     done_pairs, failed_pairs = [], []
@@ -205,7 +209,7 @@ def reconstruct(
     def pair_pose(a, b, thresh):
         nonlocal key
         key, sub = jax.random.split(key)
-        ia, ib = pair_matches[(a, b)]
+        ia, ib, _ = pair_matches[(a, b)]
         idx = np.zeros(F, np.int32)
         mask = np.zeros(F, bool)
         idx[ia] = ib
@@ -290,10 +294,52 @@ def reconstruct(
             )
             scene.point_of_feat[a, i_new] = pids
             scene.point_of_feat[b, j_new] = pids
-        return n_new, int(ext_a.sum() + ext_b.sum())
+
+        # track FUSION: a match linking two existing tracks merges them when
+        # both gates of the reference's mergePointcloudElement3d2d hold —
+        # 3D distance <= point_merge_distance AND the linking match's
+        # descriptor distance <= feature_merge_distance
+        # (ref: Scene.cpp:470-561, gates at :483 and :532)
+        n_fused = 0
+        both = (pa >= 0) & (pb >= 0) & (pa != pb)
+        if both.any() and cfg.point_merge_distance > 0:
+            dist_full = _full_dist(a, b)
+            for ii in np.nonzero(both)[0]:
+                p, q = int(pa[ii]), int(pb[ii])
+                # follow merges applied earlier in this loop
+                while not scene.point_valid[p] and scene.point_alias.get(p) is not None:
+                    p = scene.point_alias[p]
+                while not scene.point_valid[q] and scene.point_alias.get(q) is not None:
+                    q = scene.point_alias[q]
+                if p == q or not (scene.point_valid[p] and scene.point_valid[q]):
+                    continue
+                if dist_full[i_all[ii]] > cfg.feature_merge_distance:
+                    continue
+                if (
+                    np.linalg.norm(scene.points[p] - scene.points[q])
+                    > cfg.point_merge_distance
+                ):
+                    continue
+                if q < p:  # keep the older point as parent (ref keeps the
+                    p, q = q, p  # existing candidate's coordinates)
+                sel = np.nonzero((scene.obs_point == q) & (scene.obs_w > 0))[0]
+                scene.obs_point[sel] = p
+                for o in sel:
+                    scene.point_of_feat[scene.obs_shot[o], scene.obs_feat[o]] = p
+                scene.point_valid[q] = False
+                scene.point_alias[q] = p
+                n_fused += 1
+
+        return n_new, int(ext_a.sum() + ext_b.sum()) + n_fused
+
+    def _full_dist(a, b):
+        ia, _, dd = pair_matches[(a, b)]
+        dist = np.full(F, np.inf, np.float64)
+        dist[ia] = dd
+        return dist
 
     def _full_idx(a, b):
-        ia, ib = pair_matches[(a, b)]
+        ia, ib, _ = pair_matches[(a, b)]
         idx = np.zeros(F, np.int32)
         idx[ia] = ib
         return idx

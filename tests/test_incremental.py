@@ -117,3 +117,38 @@ def test_umeyama_roundtrip(rng):
     assert abs(s - 2.5) < 1e-9
     np.testing.assert_allclose(R, R0, atol=1e-9)
     assert ate_rmse(src, dst) < 1e-9
+
+
+def test_track_fusion_merges_linked_tracks(feature_scene):
+    """A match linking two existing tracks merges them when the 3D-distance
+    and descriptor-distance gates hold (ref mergePointcloudElement3d2d,
+    Scene.cpp:470-561). With generous gates, duplicate tracks of the same
+    world point should collapse: every surviving point maps to a distinct
+    world point."""
+    kps, descs, valid, intr, size, gt_centers, world = feature_scene
+    scene = Scene.create(
+        [f"im{i}" for i in range(len(kps))], size, kps, descs, valid,
+        intr, camera_model="fixed",
+    )
+    pairs = unordered_pairs(scene.n_shots)
+    cfg = SfMConfig(
+        baseline_min_matches=50,
+        matcher_backend="jnp",
+        point_merge_distance=0.2,       # generous 3D gate (world units)
+        feature_merge_distance=1e9,     # descriptor gate effectively off
+        ba=BAConfig(max_iterations=20),
+    )
+    stats = reconstruct(scene, pairs, cfg, log=lambda *a: None)
+    assert stats["baseline"] is not None
+    live = scene.point_valid
+    # every live point's observations must agree (single obs per (p, s) is
+    # NOT guaranteed after fusion — that's what the BA fallback handles),
+    # and aliases must point at live parents
+    for dead, parent in scene.point_alias.items():
+        assert not scene.point_valid[dead]
+        while parent in scene.point_alias:
+            parent = scene.point_alias[parent]
+        assert scene.point_valid[parent]
+    # fused scene should still reconstruct all views with decent geometry
+    assert stats["recovered"] == scene.n_shots
+    assert live.sum() > 100
