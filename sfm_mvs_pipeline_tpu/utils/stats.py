@@ -178,6 +178,28 @@ class ResourceSampler:
         state = parts[2]
         return utime, stime, threads, rss_pages, state
 
+    @staticmethod
+    def _device_mem() -> tuple[int, int]:
+        """(bytes_in_use, bytes_limit) of accelerator 0, or (0, 0).
+
+        The TPU-side analogue of the reference's host-memory sampling
+        (AppStatistics.cpp:70-150) — jax exposes per-device allocator stats."""
+        import sys
+
+        if "jax" not in sys.modules:
+            # never initialize the backend from the sampler thread
+            return (0, 0)
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return (
+                int(stats.get("bytes_in_use", 0)),
+                int(stats.get("bytes_limit", 0)),
+            )
+        except Exception:
+            return (0, 0)
+
     def _run(self) -> None:
         clk = os.sysconf("SC_CLK_TCK")
         page = os.sysconf("SC_PAGE_SIZE")
@@ -187,7 +209,8 @@ class ResourceSampler:
         with open(self.path, "w") as f:
             f.write(
                 "elapsed_s;total_mem_bytes;free_mem_bytes;"
-                "cpu_percent;threads;state;rss_bytes\n"
+                "cpu_percent;threads;state;rss_bytes;"
+                "device_mem_used_bytes;device_mem_limit_bytes\n"
             )
             f.flush()
             while not self._stop.wait(self.interval):
@@ -198,9 +221,10 @@ class ResourceSampler:
                     cpu = ((u - u_prev) + (s - s_prev)) / clk / dt_wall * 100.0
                     mem = os.sysconf("SC_PHYS_PAGES") * page
                     free = os.sysconf("SC_AVPHYS_PAGES") * page
+                    dmem, dlim = self._device_mem()
                     f.write(
                         f"{now - start:.1f};{mem};{free};{cpu:.1f};"
-                        f"{threads};{state};{rss * page}\n"
+                        f"{threads};{state};{rss * page};{dmem};{dlim}\n"
                     )
                     f.flush()
                     t_prev, u_prev, s_prev = now, u, s
