@@ -46,6 +46,19 @@ import numpy as np
 from sfm_mvs_pipeline_tpu.models.cameras import reprojection_residuals
 
 CHUNK = 4096  # points per Schur-assembly chunk (table-based paths)
+# shot-axis buckets (static jit dim): ~1.4x steps keep the padded camera
+# system small while amortizing compiles across many incremental BA calls
+_SHOT_BUCKETS = (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _shot_bucket(n: int) -> int:
+    for b in _SHOT_BUCKETS:
+        if n <= b:
+            return b
+    b = _SHOT_BUCKETS[-1]
+    while b < n:
+        b *= 2
+    return b
 # dense (P, S) grid eligibility: ~16M slots keeps the (P, S, 2, 16) Jacobian
 # tensor near 4 GB peak in f32 — comfortable on one v5e chip
 DENSE_GRID_MAX_SLOTS = 16 * 1024 * 1024
@@ -858,10 +871,31 @@ def run_bundle_adjustment(
     max_iterations).
     """
     cfg = config or BAConfig()
-    n_shots = poses.shape[0]
+    S_real = poses.shape[0]
     n_cams = intr.shape[0]
     P = points.shape[0]
     dt = jax.dtypes.canonicalize_dtype(dtype or points.dtype)
+
+    # Bucket the SHOT axis too: n_shots is a static jit argument, so without
+    # bucketing the incremental loop would recompile the fused LM program for
+    # EVERY added view (each remote TPU compile costs tens of seconds).
+    # Padded shots are fully frozen (pose_free = 0, no observations): their
+    # camera-system rows are identity-pinned by the solver and their updates
+    # are exactly zero.
+    n_shots = _shot_bucket(S_real)
+    if n_shots > S_real:
+        poses = np.concatenate(
+            [poses, np.zeros((n_shots - S_real, 6), poses.dtype)]
+        )
+        cam_of_shot = np.concatenate(
+            [cam_of_shot, np.zeros(n_shots - S_real, cam_of_shot.dtype)]
+        )
+        pf = (
+            pose_free
+            if pose_free is not None
+            else np.ones(S_real, dtype=np.float64)
+        )
+        pose_free = np.concatenate([pf, np.zeros(n_shots - S_real, np.float64)])
 
     # Bucket the observation and point axes to powers of two: the incremental
     # SfM loop grows both every round, and without bucketing every BA call
@@ -956,7 +990,7 @@ def run_bundle_adjustment(
             )
         return {
             "points": np.array(out_pts, dtype=points.dtype)[:P],
-            "poses": np.array(out_pos, dtype=poses.dtype),
+            "poses": np.array(out_pos, dtype=poses.dtype)[:S_real],
             "intrinsics": np.array(out_K, dtype=intr.dtype),
             "cost": float(cost_d),
             "iterations": int(iters_d),
@@ -1048,7 +1082,7 @@ def run_bundle_adjustment(
         print(f"  BA teardown: result transfer {_time.perf_counter()-_tt3:.2f}s", flush=True)
     return {
         "points": result_pts,
-        "poses": np.array(pos, dtype=poses.dtype),
+        "poses": np.array(pos, dtype=poses.dtype)[:S_real],
         "intrinsics": np.array(K, dtype=intr.dtype),
         "cost": cost,
         "iterations": iters,

@@ -128,3 +128,24 @@ def test_ba_device_matches_host_solver(synthetic_scene, rng):
     assert rms_dev < max(2 * rms_host, 0.05), (rms_dev, rms_host)
     # recovered geometry agrees (perfect-observation scene, both near GT)
     np.testing.assert_allclose(dev["poses"], host["poses"], atol=2e-3)
+
+
+def test_ba_shot_bucket_padding(synthetic_scene, rng):
+    """5 real shots pad to the 6-shot bucket: padded shots stay exactly
+    frozen and the result matches the unpadded problem."""
+    from sfm_mvs_pipeline_tpu.sfm.ba import _shot_bucket
+
+    assert _shot_bucket(5) == 6
+    arrays = _scene_arrays(synthetic_scene, rng)
+    pts, poses, intr, cams, op, osr, ouv, ow = arrays
+    keep = osr < 5  # drop the 6th camera's observations
+    intr_mask = np.zeros((1, 7))
+    intr_mask[0, 0] = 1.0
+    out = run_bundle_adjustment(
+        pts, poses[:5], intr, cams[:5], op[keep], osr[keep], ouv[keep],
+        ow[keep], intr_mask, config=BAConfig(max_iterations=15),
+    )
+    assert out["poses"].shape == (5, 6)
+    n_obs = int(keep.sum())
+    rms = np.sqrt(2 * out["cost"] / n_obs)
+    assert rms < 0.05, rms
