@@ -234,13 +234,34 @@ def run_bundle_adjustment_sharded(
     config: BAConfig | None = None,
 ) -> dict:
     """Distributed LM bundle adjustment over a 1-D device mesh."""
+    from sfm_mvs_pipeline_tpu.sfm.ba import _shot_bucket
+
     cfg = config or BAConfig()
     n_dev = mesh.devices.size
-    n_shots = poses.shape[0]
+    S_real = poses.shape[0]
     n_cams = intr.shape[0]
     # canonical device dtype: f64 inputs run as f32 on device (x64 disabled),
     # so request the canonical dtype up front instead of warning-truncating
     dt = jax.dtypes.canonicalize_dtype(points.dtype)
+
+    # bucket the static shot axis (same rationale as the single-chip driver:
+    # the incremental loop must not recompile the fused program per view)
+    n_shots = _shot_bucket(S_real)
+    if n_shots > S_real:
+        poses = np.concatenate(
+            [poses, np.zeros((n_shots - S_real, 6), poses.dtype)]
+        )
+        cam_of_shot = np.concatenate(
+            [cam_of_shot, np.zeros(n_shots - S_real, cam_of_shot.dtype)]
+        )
+        pf = (
+            pose_free
+            if pose_free is not None
+            else np.ones(S_real, dtype=np.float64)
+        )
+        pose_free = np.concatenate(
+            [pf, np.zeros(n_shots - S_real, np.float64)]
+        )
 
     sh = shard_scene_by_points(
         n_dev, points, obs_point, obs_shot, obs_uv, obs_w, n_shots=n_shots
@@ -249,10 +270,12 @@ def run_bundle_adjustment_sharded(
     table_kind = sh["table_kind"]
 
     if table_kind == "dense":
-        return _run_sharded_dense(
+        out = _run_sharded_dense(
             mesh, sh, points, poses, intr, cam_of_shot, intr_mask,
             pose_free, cfg, n_dev, n_shots, n_cams,
         )
+        out["poses"] = out["poses"][:S_real]
+        return out
 
     dev = lambda x: jnp.asarray(x)
     pos = dev(poses)
@@ -380,7 +403,7 @@ def run_bundle_adjustment_sharded(
 
     return {
         "points": out_points,
-        "poses": np.array(pos, dtype=poses.dtype),
+        "poses": np.array(pos, dtype=poses.dtype)[:S_real],
         "intrinsics": np.array(K, dtype=intr.dtype),
         "cost": cost,
         "iterations": iters,

@@ -35,28 +35,34 @@ def match_pairs_sharded(
     distinct: bool = False,
     backend: str = "auto",
     chunk: int = 8,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Match pairs across the mesh. Returns (best_idx (P, F), mask (P, F))."""
+    method: str = "bf",
+    with_distance: bool = False,
+) -> tuple[np.ndarray, ...]:
+    """Match pairs across the mesh. Returns (best_idx (P, F), mask (P, F))
+    (+ best distance (P, F) when with_distance)."""
     n_dev = mesh.devices.size
     P_orig = len(pairs)
     pairs_p = pad_to_multiple(np.asarray(pairs, np.int32), n_dev)
+
+    out_specs = tuple([P(DATA_AXIS)] * (3 if with_distance else 2))
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=out_specs,
     )
     def go(descs, val, prs):
         def one(pair):
             return match_pair(
                 descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
                 ratio=ratio, distinct=distinct, backend=backend,
+                method=method, with_distance=with_distance,
             )
 
         return jax.lax.map(one, prs, batch_size=chunk)
 
-    idx, mask = jax.jit(go)(
+    out = jax.jit(go)(
         jnp.asarray(descriptors), jnp.asarray(valid), jnp.asarray(pairs_p)
     )
-    return np.asarray(idx)[:P_orig], np.asarray(mask)[:P_orig]
+    return tuple(np.asarray(o)[:P_orig] for o in out)

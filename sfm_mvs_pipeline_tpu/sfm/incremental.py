@@ -135,16 +135,31 @@ def reconstruct(
 
     # ---- 1. match all candidate pairs (the sharded hot loop)
     log(f"matching {len(pairs)} pairs")
-    midx, mmask, mdist = M.match_pairs_batch(
-        jnp.asarray(scene.descriptors),
-        jnp.asarray(scene.feat_valid),
-        jnp.asarray(pairs),
-        ratio=cfg.lowe_ratio,
-        distinct=cfg.distinct_matches,
-        backend=cfg.matcher_backend,
-        method=cfg.matcher_method,
-        with_distance=True,
-    )
+    if len(jax.devices()) > 1 and len(pairs) >= len(jax.devices()):
+        # pair-sharded matching over the device mesh (SURVEY.md §2.7 (2))
+        from sfm_mvs_pipeline_tpu.parallel.matching import match_pairs_sharded
+        from sfm_mvs_pipeline_tpu.parallel.mesh import make_mesh
+
+        log(f"pair-sharded matching over {len(jax.devices())} devices")
+        midx, mmask, mdist = match_pairs_sharded(
+            make_mesh(), scene.descriptors, scene.feat_valid, pairs,
+            ratio=cfg.lowe_ratio,
+            distinct=cfg.distinct_matches,
+            backend=cfg.matcher_backend,
+            method=cfg.matcher_method,
+            with_distance=True,
+        )
+    else:
+        midx, mmask, mdist = M.match_pairs_batch(
+            jnp.asarray(scene.descriptors),
+            jnp.asarray(scene.feat_valid),
+            jnp.asarray(pairs),
+            ratio=cfg.lowe_ratio,
+            distinct=cfg.distinct_matches,
+            backend=cfg.matcher_backend,
+            method=cfg.matcher_method,
+            with_distance=True,
+        )
     midx = np.asarray(midx)
     mmask = np.asarray(mmask)
     mdist = np.asarray(mdist)
@@ -182,7 +197,9 @@ def reconstruct(
         model = CAMERA_MODELS[scene.camera_model]
         imask = np.zeros((len(scene.intrinsics), 7))
         imask[:, list(model.opt_mask)] = 1.0
-        out = run_bundle_adjustment(
+        n_dev = len(jax.devices())
+        n_live = int((scene.obs_w > 0).sum())
+        ba_args = (
             scene.points.astype(np.float64),
             scene.poses,
             scene.intrinsics,
@@ -192,9 +209,25 @@ def reconstruct(
             scene.obs_uv.astype(np.float64),
             scene.obs_w.astype(np.float64),
             imask,
-            pose_free=scene.recovered.astype(np.float64),
-            config=cfg.ba,
         )
+        if n_dev > 1 and n_live >= 2048 * n_dev:
+            # point-sharded distributed BA over the mesh (SURVEY.md §2.7 (3))
+            from sfm_mvs_pipeline_tpu.parallel.ba import (
+                run_bundle_adjustment_sharded,
+            )
+            from sfm_mvs_pipeline_tpu.parallel.mesh import make_mesh
+
+            out = run_bundle_adjustment_sharded(
+                make_mesh(), *ba_args,
+                pose_free=scene.recovered.astype(np.float64),
+                config=cfg.ba,
+            )
+        else:
+            out = run_bundle_adjustment(
+                *ba_args,
+                pose_free=scene.recovered.astype(np.float64),
+                config=cfg.ba,
+            )
         scene.points = out["points"]
         scene.poses = out["poses"]
         scene.intrinsics = out["intrinsics"]
