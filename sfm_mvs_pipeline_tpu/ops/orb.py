@@ -21,6 +21,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from sfm_mvs_pipeline_tpu.ops.topk import select_top_k
 import numpy as np
 
 # FAST circle of radius 3 (the standard 16-pixel Bresenham ring)
@@ -139,7 +141,7 @@ def orb_features(
 
         k_lev = max(max_features // max(1, lev + 1), 64)
         k_lev = min(k_lev, hl * wl)
-        vals, idx = jax.lax.top_k(score.reshape(b, -1), k_lev)
+        vals, idx = select_top_k(score.reshape(b, -1), k_lev)
         ys = (idx // wl).astype(jnp.float32)
         xs = (idx % wl).astype(jnp.float32)
         valid = jnp.isfinite(vals)
@@ -202,7 +204,7 @@ def orb_features(
         for k in per_level[0]
     }
     score = jnp.where(merged["valid"], merged["response"], -jnp.inf)
-    _, top = jax.lax.top_k(score, max_features)
+    _, top = select_top_k(score, max_features)
     take = lambda a: jnp.take_along_axis(
         a, top.reshape(b, -1, *([1] * (a.ndim - 2))), axis=1
     )

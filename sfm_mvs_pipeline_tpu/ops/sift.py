@@ -35,6 +35,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from sfm_mvs_pipeline_tpu.ops.topk import select_top_k
 import numpy as np
 
 
@@ -162,7 +164,7 @@ def _find_octave_extrema(
 
     score = jnp.where(is_ext, jnp.abs(dog), 0.0)
     flat = score.reshape(b, -1)
-    vals, idx = jax.lax.top_k(flat, k_oct)  # (B, k_oct)
+    vals, idx = select_top_k(flat, k_oct)  # (B, k_oct)
     valid = vals > 0
 
     # unravel
@@ -455,7 +457,7 @@ def sift_features(
     }
     # global top-F by response among valid
     score = jnp.where(merged["valid"], merged["response"], -1.0)
-    _, top = jax.lax.top_k(score, max_features)  # (B, F)
+    _, top = select_top_k(score, max_features)  # (B, F)
     gather = lambda a: jnp.take_along_axis(
         a, top.reshape(b, -1, *([1] * (a.ndim - 2))), axis=1
     )
