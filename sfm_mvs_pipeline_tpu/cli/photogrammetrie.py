@@ -48,6 +48,9 @@ def print_usage() -> None:
                                      mesh, like the reference's TextureMesh)
   --dense                            run dense MVS
   --sgm                              use SGM instead of plane-sweep for depth
+  -Pdense-method=sweep|patchmatch    depth-map algorithm (default sweep;
+                                     patchmatch = checkerboard PatchMatch,
+                                     the reference's openMVS default)
   --mesh                             mesh the dense cloud
   --no-decimate                      skip mesh decimation
   --refine-mesh                      photometric mesh refinement (may also
@@ -258,6 +261,7 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
 
         mvs_cfg = MVSConfig(
             use_sgm=args.is_flag("sgm"),
+            method=args.get("dense-method", "sweep"),
             mesh=args.is_flag("mesh"),
             decimate=not args.is_flag("no-decimate"),
             refine_mesh=args.is_flag("refine-mesh"),
@@ -389,6 +393,7 @@ def _run_resumed(args: AppArgs, out_dir: str, resume_path: str) -> int:
 
         mvs_cfg = MVSConfig(
             use_sgm=args.is_flag("sgm"),
+            method=args.get("dense-method", "sweep"),
             mesh=args.is_flag("mesh"),
             decimate=not args.is_flag("no-decimate"),
             refine_mesh=args.is_flag("refine-mesh"),

@@ -140,6 +140,74 @@ def laplacian_smooth(
     return v
 
 
+def close_holes(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    colors,
+    max_edges: int = 30,
+):
+    """Close small boundary loops by fan triangulation.
+
+    Parity with the reference's hole-closing Clean passes
+    (ref: src/photogrammetrie/mvs/MVS.cpp:160-166 — ``mesh.Clean(...)`` with
+    close-holes 30, src/photogrammetrie/mvs/MVS.h:67). A boundary edge is a
+    directed edge that appears in exactly one face; boundary loops with at
+    most ``max_edges`` edges are filled with a fan around their centroid
+    (one new vertex per hole, so the fill shares the hole's scale).
+    """
+    if len(faces) == 0:
+        return vertices, faces, colors
+    # directed edges; boundary = edge whose reverse never occurs
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    fwd = set(map(tuple, e.tolist()))
+    boundary = [(a, b) for (a, b) in fwd if (b, a) not in fwd]
+    if not boundary:
+        return vertices, faces, colors
+    # boundary edges of a manifold-with-border mesh chain b->a around holes;
+    # walk successor pointers to extract loops
+    nxt = {}
+    for a, b in boundary:
+        nxt[a] = b  # at most one outgoing boundary edge per vertex on clean borders
+    seen = set()
+    new_v, new_f, new_c = [], [], []
+    base = len(vertices)
+    for start in list(nxt):
+        if start in seen:
+            continue
+        loop = [start]
+        seen.add(start)
+        cur = nxt[start]
+        ok = True
+        while cur != start:
+            if cur in seen or cur not in nxt or len(loop) > max_edges:
+                ok = False
+                break
+            loop.append(cur)
+            seen.add(cur)
+            cur = nxt[cur]
+        if not ok or len(loop) < 3 or len(loop) > max_edges:
+            continue
+        centroid = vertices[loop].mean(axis=0)
+        ci = base + len(new_v)
+        new_v.append(centroid)
+        if colors is not None:
+            new_c.append(colors[loop].astype(np.float64).mean(axis=0))
+        # fan orientation: boundary runs opposite to face winding, so
+        # (b, a, centroid) keeps the fill consistent with its neighbors
+        for k in range(len(loop)):
+            a, b = loop[k], loop[(k + 1) % len(loop)]
+            new_f.append((b, a, ci))
+    if not new_v:
+        return vertices, faces, colors
+    vertices = np.concatenate([vertices, np.asarray(new_v)])
+    faces = np.concatenate([faces, np.asarray(new_f, dtype=faces.dtype)])
+    if colors is not None:
+        colors = np.concatenate(
+            [colors, np.clip(np.asarray(new_c), 0, 255).astype(colors.dtype)]
+        )
+    return vertices, faces, colors
+
+
 def remove_small_components(
     vertices: np.ndarray, faces: np.ndarray, colors, min_faces: int = 50
 ):
@@ -184,6 +252,7 @@ def mesh_from_depth_maps(
     rgbs: np.ndarray | None = None,
     decimate: bool = True,
     smooth_iters: int = 2,
+    close_holes_edges: int = 30,
     log=lambda *a: None,
 ) -> dict:
     """Full meshing pass over all views."""
@@ -216,6 +285,7 @@ def mesh_from_depth_maps(
     log(f"clustered: {len(V)} verts, {len(F)} faces (cell {cell:.4g})")
 
     V, F, C = remove_small_components(V, F, C)
+    V, F, C = close_holes(V, F, C, max_edges=close_holes_edges)
     V = laplacian_smooth(V, F, smooth_iters)
     log(f"cleaned: {len(V)} verts, {len(F)} faces")
     return {"vertices": V, "faces": F, "colors": C}

@@ -34,6 +34,11 @@ class MVSConfig:
     use_sgm: bool = False
     sgm_p1: float = 0.03
     sgm_p2: float = 0.3
+    # depth-map method: "sweep" (plane-sweep cost volume, TPU default) or
+    # "patchmatch" (checkerboard PatchMatch, the reference's openMVS
+    # default dense algorithm re-shaped for TPU; mvs/patchmatch.py)
+    method: str = "sweep"
+    pm_iterations: int = 8
     mesh: bool = False
     decimate: bool = True
     refine_mesh: bool = False
@@ -115,8 +120,10 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
     intr_pinhole = intr.copy()
     intr_pinhole[3:] = 0.0  # images get undistorted below
 
+    method = "SGM" if cfg.use_sgm else (
+        "PatchMatch" if cfg.method == "patchmatch" else "plane-sweep")
     log(f"densifying {len(rec)} views at {w}x{h} "
-        f"({'SGM' if cfg.use_sgm else 'plane-sweep'}, {cfg.n_planes} planes)")
+        f"({method}, {cfg.n_planes} planes)")
 
     grays, rgbs = [], []
     for s in rec:
@@ -162,6 +169,7 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
             nbr_idx, nbr_valid, planes_all,
             window_radius=cfg.window_radius, use_sgm=cfg.use_sgm,
             sgm_p1=cfg.sgm_p1, sgm_p2=cfg.sgm_p2, max_cost=cfg.max_cost,
+            method=cfg.method, pm_iterations=cfg.pm_iterations,
         )
         for i, s in enumerate(rec):
             log(f"view {s}: {int(valids[i].sum())}/{h*w} valid px")
@@ -179,6 +187,38 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
             log(f"view {s}: no neighbors, skipped")
             continue
         z_lo, z_hi = depth_range(scene, s)
+        if cfg.method == "patchmatch" and not cfg.use_sgm:
+            import jax as _jax
+
+            from sfm_mvs_pipeline_tpu.mvs.patchmatch import patchmatch_depth
+
+            # fixed neighbor capacity so every view shares one compiled fn
+            cap = cfg.n_neighbors
+            nb = (nbrs + [nbrs[0]] * cap)[:cap]
+            nb_ok = np.zeros(cap, bool)
+            nb_ok[: min(len(nbrs), cap)] = True
+            depth, cost, valid = patchmatch_depth(
+                jnp.asarray(grays[i]), jnp.asarray(grays[nb]),
+                jnp.asarray(poses[i]), jnp.asarray(poses[nb]),
+                jnp.asarray(intr_pinhole, jnp.float32),
+                jnp.float32(z_lo), jnp.float32(z_hi),
+                _jax.random.PRNGKey(s),
+                iterations=cfg.pm_iterations,
+                window_radius=cfg.window_radius,
+                max_cost=cfg.max_cost,
+                nbr_valid=jnp.asarray(nb_ok),
+            )
+            depth_maps[i] = np.asarray(depth)
+            valids[i] = np.asarray(valid)
+            log(
+                f"view {s}: depth range [{z_lo:.2f}, {z_hi:.2f}], "
+                f"{int(valids[i].sum())}/{h*w} valid px"
+            )
+            if cfg.keep_artifacts:
+                np.save(
+                    os.path.join(out_dir, f"depth_{s:04d}.npy"), depth_maps[i]
+                )
+            continue
         planes = make_depth_planes(z_lo, z_hi, cfg.n_planes).astype(np.float32)
         cv = sweep_cost_volume(
             jnp.asarray(grays[i]),

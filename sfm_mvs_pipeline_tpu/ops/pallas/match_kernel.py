@@ -51,8 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.0e38
 
-TILE_Q = 256
-TILE_T = 512
+# tile sizes: larger tiles amortize per-grid-step overhead; measured on the
+# v5e chip: (256, 512) -> 685 pairs/s, (1024, 1024) -> 726 pairs/s at
+# HIGHEST precision for the 8192x8192x128 benchmark shape. VMEM at
+# (1024, 1024): ~2 MB operand double-buffers + 1.5 MB accumulators + the
+# (TILE_Q, TILE_T) f32 score tile — well under the 16 MB budget.
+TILE_Q = 1024
+TILE_T = 1024
 LANES = 128
 _SUB = TILE_T // LANES
 

@@ -44,8 +44,14 @@ def compute_depth_maps_sharded(
     sgm_p1: float = 0.03,
     sgm_p2: float = 0.3,
     max_cost: float = 0.35,
+    method: str = "sweep",
+    pm_iterations: int = 8,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (depth (V, H, W) f32, valid (V, H, W) bool)."""
+    """Returns (depth (V, H, W) f32, valid (V, H, W) bool).
+
+    method="patchmatch" runs the checkerboard PatchMatch (mvs/patchmatch.py)
+    per view instead of the plane sweep; the per-view plane ladder then only
+    supplies the depth search range (its min/max)."""
     from sfm_mvs_pipeline_tpu.mvs.plane_sweep import sweep_cost_volume, wta_depth
 
     V, H, W = grays.shape
@@ -81,6 +87,19 @@ def compute_depth_maps_sharded(
     def work(vids, nidx, nval, pl, grays_, poses_, intr_):
         def one(args):
             vid, nbrs, nv, planes_v = args
+            if method == "patchmatch" and not use_sgm:
+                from sfm_mvs_pipeline_tpu.mvs.patchmatch import patchmatch_depth
+
+                depth, _cost, valid = patchmatch_depth(
+                    grays_[vid], grays_[nbrs], poses_[vid], poses_[nbrs],
+                    intr_, jnp.min(planes_v), jnp.max(planes_v),
+                    jax.random.fold_in(jax.random.PRNGKey(0), vid),
+                    iterations=pm_iterations,
+                    window_radius=window_radius, max_cost=max_cost,
+                    nbr_valid=nv,
+                )
+                any_nbr = jnp.any(nv)
+                return jnp.where(any_nbr, depth, 0.0), valid & any_nbr
             cv = sweep_cost_volume(
                 grays_[vid], grays_[nbrs], poses_[vid], poses_[nbrs],
                 intr_, planes_v, window_radius=window_radius, nbr_valid=nv,

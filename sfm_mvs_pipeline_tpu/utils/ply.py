@@ -160,9 +160,16 @@ def read_ply(path: str) -> dict:
             if any(p[0] == "list" for p in el["props"]):
                 faces = []
                 for _ in range(el["count"]):
-                    k = int(text[ti]); ti += 1
-                    faces.append([int(text[ti + j]) for j in range(k)])
-                    ti += k
+                    for p in el["props"]:
+                        if p[0] == "list":
+                            k = int(text[ti]); ti += 1
+                            if p[3] in ("vertex_indices", "vertex_index"):
+                                faces.append(
+                                    [int(text[ti + j]) for j in range(k)]
+                                )
+                            ti += k
+                        else:
+                            ti += 1
                 out["faces"] = np.asarray(faces)
             else:
                 names = [p[0] for p in el["props"]]
@@ -176,16 +183,24 @@ def read_ply(path: str) -> dict:
 
     for el in elements:
         if any(p[0] == "list" for p in el["props"]):
-            # assume uniform triangle lists (uchar count + int indices)
-            lst = el["props"][0]
-            cdt = np.dtype(tmap[lst[1]])
-            idt = np.dtype(tmap[lst[2]])
+            # face-like element: walk EVERY property per face; keep the
+            # vertex index list, skip other lists (e.g. per-face texcoord
+            # written by write_ply_mesh_textured) and scalar props
             faces = []
             for _ in range(el["count"]):
-                k = int(np.frombuffer(body, cdt, 1, offset)[0])
-                offset += cdt.itemsize
-                faces.append(np.frombuffer(body, idt, k, offset).copy())
-                offset += idt.itemsize * k
+                for p in el["props"]:
+                    if p[0] == "list":
+                        cdt = np.dtype(tmap[p[1]])
+                        idt = np.dtype(tmap[p[2]])
+                        k = int(np.frombuffer(body, cdt, 1, offset)[0])
+                        offset += cdt.itemsize
+                        if p[3] in ("vertex_indices", "vertex_index"):
+                            faces.append(
+                                np.frombuffer(body, idt, k, offset).copy()
+                            )
+                        offset += idt.itemsize * k
+                    else:
+                        offset += np.dtype(tmap[p[1]]).itemsize
             out["faces"] = np.asarray(faces)
         else:
             dt = np.dtype([(p[0], tmap[p[1]]) for p in el["props"]])

@@ -200,8 +200,111 @@ def test_texture_and_refine(plane_scene, tmp_path):
     assert "TextureFile" in head and "texcoord" in head
     assert (tmp_path / "mesh.png").exists()
 
+    # our own reader must round-trip the textured mesh: the face element
+    # carries BOTH a vertex_indices list and a texcoord list per face
+    # (regression: the reader used to misparse texcoord bytes as faces)
+    from sfm_mvs_pipeline_tpu.utils.ply import read_ply
+
+    back = read_ply(out)
+    assert len(back["points"]) == len(V)
+    np.testing.assert_array_equal(np.stack(back["faces"]), F_)
+
     refined = refine_mesh_photometric(V, F_, poses, intr, grays)
     assert refined.shape == V.shape
     # refinement is bounded by the search ladder
     d = np.linalg.norm(refined - V, axis=1)
     assert np.isfinite(refined).all() and d.max() < 1.0
+
+
+def test_close_holes():
+    """A grid mesh with one interior quad hole gets filled; the outer
+    border (too large) stays open. Ref parity: mesh.Clean close-holes 30
+    (src/photogrammetrie/mvs/MVS.cpp:160-166)."""
+    from sfm_mvs_pipeline_tpu.mvs.mesh import close_holes
+
+    n = 12
+    yy, xx = np.mgrid[0:n, 0:n]
+    V = np.stack([xx.ravel(), yy.ravel(), np.zeros(n * n).ravel()], 1).astype(
+        np.float64
+    )
+    vid = lambda r, c: r * n + c
+    F = []
+    hole = (5, 5)  # skip both triangles of this quad
+    for r in range(n - 1):
+        for c in range(n - 1):
+            if (r, c) == hole:
+                continue
+            a, b = vid(r, c), vid(r, c + 1)
+            cc, d = vid(r + 1, c), vid(r + 1, c + 1)
+            F.append((a, b, cc))
+            F.append((b, d, cc))
+    F = np.asarray(F, np.int64)
+    cols = np.full((len(V), 3), 128, np.uint8)
+
+    V2, F2, C2 = close_holes(V, F, cols, max_edges=30)
+    # hole (4 boundary edges) filled with a centroid fan: +1 vertex, +4 faces
+    assert len(V2) == len(V) + 1
+    assert len(F2) == len(F) + 4
+    assert C2.shape[0] == len(V2)
+    np.testing.assert_allclose(V2[-1][:2], [5.5, 5.5])
+    # the outer border (44 edges > 30) must remain open
+    e = np.concatenate([F2[:, [0, 1]], F2[:, [1, 2]], F2[:, [2, 0]]])
+    fwd = set(map(tuple, e.tolist()))
+    n_boundary = sum(1 for (a, b) in fwd if (b, a) not in fwd)
+    assert n_boundary == 4 * (n - 1)
+
+    # closing with a small limit is a no-op for the quad hole
+    V3, F3, _ = close_holes(V, F, cols, max_edges=3)
+    assert len(V3) == len(V) and len(F3) == len(F)
+
+
+def test_patchmatch_depth(plane_scene):
+    """PatchMatch must resolve the two-plane scene to sub-percent median
+    relative error — the continuous-depth analogue of the plane sweep
+    (ref default dense path: MVS.cpp:118 DenseReconstruction(0))."""
+    import jax
+
+    from sfm_mvs_pipeline_tpu.mvs.patchmatch import patchmatch_depth
+
+    grays, gt, poses, intr = plane_scene
+    r, nbrs = 2, [0, 1, 3, 4]
+    depth, cost, valid = patchmatch_depth(
+        jnp.asarray(grays[r]), jnp.asarray(grays[nbrs]),
+        jnp.asarray(poses[r]), jnp.asarray(poses[nbrs]),
+        jnp.asarray(intr), 6.0, 16.0, jax.random.PRNGKey(0),
+        iterations=6, max_cost=0.35,
+    )
+    depth = np.asarray(depth)
+    valid = np.asarray(valid)
+    assert valid.mean() > 0.7, f"valid fraction {valid.mean()}"
+    rel = np.abs(depth - gt[r]) / gt[r]
+    med = np.median(rel[valid])
+    assert med < 0.01, f"median relative depth error {med}"
+    # continuous depths: not quantized to a plane ladder (a 64-plane sweep
+    # yields <=64 distinct raw values; random search resolves far more —
+    # piecewise-constant GT legitimately lets propagation clone values, so
+    # only require well beyond any plane count)
+    assert len(np.unique(depth[valid])) > 500
+
+
+def test_patchmatch_seeded_matches_unseeded(plane_scene):
+    """Seeding from a coarse depth (the ladder path) must not hurt."""
+    import jax
+
+    from sfm_mvs_pipeline_tpu.mvs.patchmatch import patchmatch_depth
+
+    grays, gt, poses, intr = plane_scene
+    r, nbrs = 2, [0, 1, 3, 4]
+    args = (
+        jnp.asarray(grays[r]), jnp.asarray(grays[nbrs]),
+        jnp.asarray(poses[r]), jnp.asarray(poses[nbrs]),
+        jnp.asarray(intr), 6.0, 16.0,
+    )
+    seed = jnp.asarray(gt[r] * (1.0 + 0.03))  # a biased-but-close seed
+    d1, _, v1 = patchmatch_depth(
+        *args, jax.random.PRNGKey(1), init_depth=seed, iterations=5,
+        max_cost=0.35,
+    )
+    err = np.abs(np.asarray(d1) - gt[r]) / gt[r]
+    assert np.asarray(v1).mean() > 0.6
+    assert np.median(err[np.asarray(v1)]) < 0.01

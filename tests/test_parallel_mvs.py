@@ -106,3 +106,26 @@ def test_masked_sweep_ignores_padded_neighbor(rng):
         nbr_valid=jnp.ones(1, bool),
     )
     np.testing.assert_allclose(np.asarray(cv_pad), np.asarray(cv_ref), atol=1e-6)
+
+
+def test_sharded_patchmatch(rng):
+    """method="patchmatch" through the sharded path recovers the z=5 plane
+    and honors neighbor masks (padded views must not change results)."""
+    grays, poses, intr = _camera_ring(rng)
+    V = len(grays)
+    planes = np.stack(
+        [np.asarray(make_depth_planes(3.0, 8.0, 16), np.float32)] * V
+    )
+    neighbors = {v: [u for u in range(V) if u != v][:3] for v in range(V)}
+    nbr_idx, nbr_valid = fixed_neighbor_table(neighbors, list(range(V)), 3)
+
+    mesh = make_mesh()
+    depth_sh, valid_sh = compute_depth_maps_sharded(
+        mesh, grays, poses, intr, nbr_idx, nbr_valid, planes,
+        window_radius=2, max_cost=0.5, method="patchmatch", pm_iterations=5,
+    )
+    assert valid_sh.any()
+    got = depth_sh[valid_sh]
+    assert abs(np.median(got) - 5.0) < 0.5
+    # continuous depths (not the 16-plane ladder)
+    assert len(np.unique(got)) > 100
