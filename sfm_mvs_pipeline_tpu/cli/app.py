@@ -56,6 +56,22 @@ def main(argv: list[str] | None = None) -> int:
     logging.set_level(args.get_int("loglevel", logging.INFO))
     logging.set_force_color(args.is_flag("forceColoredOutput"))
 
+    # -Pthreads caps the host-side thread pools, the analogue of the
+    # reference's global omp_set_num_threads (ref: src/cli/App.cpp:42-45).
+    # TPU compute is unaffected; this bounds cv2 image decode, native
+    # kd-tree OMP loops, and Eigen/XLA host threading.
+    threads = args.get_int("threads", 0)
+    if threads > 0:
+        import os
+
+        os.environ["OMP_NUM_THREADS"] = str(threads)
+        try:
+            import cv2
+
+            cv2.setNumThreads(threads)
+        except Exception:
+            pass
+
     run = args.get("run", "photogrammetrie")
     if args.is_flag("help") and args.get("run") is None:
         print_usage()

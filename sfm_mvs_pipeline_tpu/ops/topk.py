@@ -20,7 +20,22 @@ import jax
 
 def select_top_k(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """(values, indices) of the ~top-k scores along the last axis,
-    descending. Exact on CPU/GPU, approximate (approx_max_k) on TPU."""
+    descending. Exact on CPU/GPU, approximate (approx_max_k) on TPU.
+
+    k may exceed the axis size (an "unlimited" feature budget on a small
+    image/octave): the result is then every candidate, padded to k with
+    -inf values / index 0 so downstream `vals > 0` validity masks drop the
+    padding."""
+    import jax.numpy as jnp
+
+    n = scores.shape[-1]
+    if k >= n:
+        vals, idx = jax.lax.top_k(scores, n)
+        pad = [(0, 0)] * (scores.ndim - 1) + [(0, k - n)]
+        return (
+            jnp.pad(vals, pad, constant_values=-jnp.inf),
+            jnp.pad(idx, pad, constant_values=0),
+        )
     if jax.default_backend() == "tpu":
         return jax.lax.approx_max_k(scores, k)
     return jax.lax.top_k(scores, k)

@@ -45,8 +45,8 @@ class SfMConfig:
     ransac_matching_threshold: float = -3.0  # sign convention: <0 => abs px
     ransac_baseline_threshold: float = -1.0
     ransac_pose_threshold: float = -8.0
-    min_homography_inlier_ratio: float = 0.5
-    min_pose_inlier_ratio: float = 0.5
+    min_homography_inlier_ratio: float = 0.4  # ref default (PhotogrammetrieCli.cpp:105)
+    min_pose_inlier_ratio: float = 0.4  # ref default (PhotogrammetrieCli.cpp:106)
     max_reprojection_error: float = 10.0
     point_merge_distance: float = 0.01
     feature_merge_distance: float = 20.0
@@ -54,6 +54,10 @@ class SfMConfig:
     distinct_matches: bool = False
     matcher_backend: str = "auto"
     matcher_method: str = "bf"  # "flann" = approximate shortlist matcher
+    # descriptors are a +-1 binary (ORB/Hamming) expansion: matched as
+    # bfloat16, which is EXACT for +-1 values and runs the single-pass MXU
+    # path (6x the f32-HIGHEST matmul throughput; ops/pallas/match_kernel.py)
+    binary_descriptors: bool = False
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     ba_every_view: bool = True  # reference runs BA after every added view
     seed: int = 0
@@ -135,6 +139,9 @@ def reconstruct(
 
     # ---- 1. match all candidate pairs (the sharded hot loop)
     log(f"matching {len(pairs)} pairs")
+    match_descs = scene.descriptors
+    if cfg.binary_descriptors:
+        match_descs = match_descs.astype(jnp.bfloat16)
     if len(jax.devices()) > 1 and len(pairs) >= len(jax.devices()):
         # pair-sharded matching over the device mesh (SURVEY.md §2.7 (2))
         from sfm_mvs_pipeline_tpu.parallel.matching import match_pairs_sharded
@@ -142,7 +149,7 @@ def reconstruct(
 
         log(f"pair-sharded matching over {len(jax.devices())} devices")
         midx, mmask, mdist = match_pairs_sharded(
-            make_mesh(), scene.descriptors, scene.feat_valid, pairs,
+            make_mesh(), match_descs, scene.feat_valid, pairs,
             ratio=cfg.lowe_ratio,
             distinct=cfg.distinct_matches,
             backend=cfg.matcher_backend,
@@ -151,7 +158,7 @@ def reconstruct(
         )
     else:
         midx, mmask, mdist = M.match_pairs_batch(
-            jnp.asarray(scene.descriptors),
+            jnp.asarray(match_descs),
             jnp.asarray(scene.feat_valid),
             jnp.asarray(pairs),
             ratio=cfg.lowe_ratio,
@@ -488,6 +495,12 @@ def reconstruct(
             log(f"pair ({a}, {b}): +{n_new} points, +{n_ext} track extensions")
             queue.discard((a, b))
             done_pairs.append((a, b))
+        # collapse UNLINKED duplicate tracks by pure 3D distance (the batch
+        # equivalent of the reference's mergePointcloudElement,
+        # Scene.cpp:435-468), same gate as the linked fusion above
+        n_spatial = scene.merge_close_points(cfg.point_merge_distance)
+        if n_spatial:
+            log(f"spatial merge: {n_spatial} duplicate tracks collapsed")
         if cfg.ba_every_view:
             run_ba()
     if not cfg.ba_every_view:

@@ -44,3 +44,45 @@ def ate_rmse(
     R, t, s = umeyama_alignment(est_centers, ref_centers, with_scale)
     aligned = (s * (R @ est_centers.T)).T + t
     return float(np.sqrt(((aligned - ref_centers) ** 2).sum(axis=1).mean()))
+
+
+def trajectory_compare(
+    est_centers: np.ndarray,
+    est_rotations: np.ndarray,
+    ref_centers: np.ndarray,
+    ref_rotations: np.ndarray,
+) -> dict:
+    """Trajectory comparison: center-ATE after sim(3) + relative rotations.
+
+    With few cameras (the insel configs have 3, nearly collinear)
+    center-ATE alone is weak: the Umeyama rotation is unconstrained about
+    the line of centers, so absolute orientation comparison through that
+    alignment is meaningless. Relative rotations R_i R_j^T are GAUGE-FREE —
+    they need no alignment at all — so the angular check compares every
+    camera pair's relative rotation between the two reconstructions:
+    angle( (R_i^est R_j^est^T) (R_i^ref R_j^ref^T)^T ).
+
+    est_rotations/ref_rotations: (N, 3, 3) world-to-camera rotations.
+    Returns ate_rmse, per-camera center errors, mean/max relative-rotation
+    angle (degrees), and the alignment scale.
+    """
+    R, t, s = umeyama_alignment(est_centers, ref_centers)
+    aligned = (s * (R @ est_centers.T)).T + t
+    errs = np.linalg.norm(aligned - ref_centers, axis=1)
+    angs = []
+    n = len(est_rotations)
+    for i in range(n):
+        for j in range(i + 1, n):
+            rel_e = est_rotations[i] @ est_rotations[j].T
+            rel_r = ref_rotations[i] @ ref_rotations[j].T
+            d = rel_e @ rel_r.T
+            c = np.clip((np.trace(d) - 1.0) / 2.0, -1.0, 1.0)
+            angs.append(np.degrees(np.arccos(c)))
+    angs = np.asarray(angs) if angs else np.zeros(1)
+    return {
+        "ate_rmse": float(np.sqrt((errs**2).mean())),
+        "center_errors": errs,
+        "mean_rel_rot_deg": float(angs.mean()),
+        "max_rel_rot_deg": float(angs.max()),
+        "scale": s,
+    }

@@ -100,6 +100,36 @@ def test_cli_usage_and_dispatch(capsys):
     assert main(["-Prun=photogrammetrie", "-Ploglevel=4"]) == 2
 
 
+def test_reference_cli_defaults():
+    """Pin the reference CLI semantics (VERDICT r2 items 2-3):
+    inlier-ratio defaults are 0.4 (PhotogrammetrieCli.cpp:105-106),
+    feature-limit=0 means unlimited (cv::SIFT::create(0,...), :345),
+    and -Pdense-method rejects typos instead of silently falling back."""
+    import pytest
+
+    from sfm_mvs_pipeline_tpu.cli.photogrammetrie import (
+        _dense_method,
+        _feature_cap,
+    )
+    from sfm_mvs_pipeline_tpu.sfm.incremental import SfMConfig
+
+    cfg = SfMConfig()
+    assert cfg.min_homography_inlier_ratio == 0.4
+    assert cfg.min_pose_inlier_ratio == 0.4
+
+    # limit 0 -> unlimited (2^18) -> capacity bounded only by image area / hw cap
+    unlimited = 1 << 18
+    assert _feature_cap(unlimited, 720, 405) > 256
+    assert _feature_cap(unlimited, 720, 405) >= _feature_cap(10000, 720, 405)
+    # a small image bounds "unlimited" by its area, not the hw cap
+    assert _feature_cap(unlimited, 240, 135) < _feature_cap(unlimited, 1920, 1080)
+
+    assert _dense_method(AppArgs(["-Pdense-method=patchmatch"])) == "patchmatch"
+    assert _dense_method(AppArgs([])) == "sweep"
+    with pytest.raises(ValueError):
+        _dense_method(AppArgs(["-Pdense-method=patchmach"]))
+
+
 def test_pcl_stats_cli_mesh_keeps_faces(tmp_path, rng):
     """A mesh input produces a quality PLY that still has its faces
     (reference writeToNeighborPLY behavior)."""

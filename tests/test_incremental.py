@@ -152,3 +152,36 @@ def test_track_fusion_merges_linked_tracks(feature_scene):
     # fused scene should still reconstruct all views with decent geometry
     assert stats["recovered"] == scene.n_shots
     assert live.sum() > 100
+
+
+def test_spatial_merge_collapses_unlinked_tracks():
+    """Two tracks that never shared a match but sit within the merge
+    distance collapse into one (ref mergePointcloudElement, pure 3D
+    distance — Scene.cpp:435-468). A third, distant point survives."""
+    from sfm_mvs_pipeline_tpu.models.scene import Scene
+
+    S, F = 2, 8
+    scene = Scene.create(
+        ["a", "b"], (64, 64),
+        np.zeros((S, F, 2), np.float32), np.zeros((S, F, 4), np.float32),
+        np.ones((S, F), bool), np.array([80.0, 32, 32, 0, 0, 0, 0]),
+    )
+    # track 0: obs in shot 0 feat 0 / shot 1 feat 0; track 1 duplicates its
+    # position with DIFFERENT features (unlinked); track 2 is far away
+    scene.add_points(
+        np.array([[0, 0, 5.0], [0.005, 0, 5.0], [3, 3, 9.0]]),
+        [
+            [(0, 0, (10, 10)), (1, 0, (12, 10))],
+            [(0, 1, (11, 10)), (1, 1, (13, 10))],
+            [(0, 2, (40, 40))],
+        ],
+    )
+    n = scene.merge_close_points(0.05)
+    assert n == 1
+    assert scene.point_valid.tolist() == [True, False, True]
+    # observations + feature links moved to the surviving parent
+    assert (scene.obs_point[:4] == 0).all()
+    assert scene.point_of_feat[0, 1] == 0 and scene.point_of_feat[1, 1] == 0
+    assert scene.point_alias[1] == 0
+    # idempotent: nothing left to merge
+    assert scene.merge_close_points(0.05) == 0

@@ -71,6 +71,9 @@ def test_pallas_interpret_matches_jnp(rng):
     bi_j, b_j, s_j = M.two_nn_jnp(dq, dt, vq, vt)
     bi_p, b_p, s_p = two_nn_pallas(dq, dt, vq, vt, interpret=True)
 
+    # off-TPU the kernel keeps f32 HIGHEST dots (the bf16 hi|lo split is
+    # TPU-only, where the MXU accumulates in f32), so the CPU interpret
+    # path is exact vs the jnp oracle
     np.testing.assert_array_equal(np.asarray(bi_p)[:290], np.asarray(bi_j)[:290])
     np.testing.assert_allclose(np.asarray(b_p)[:290], np.asarray(b_j)[:290], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s_p)[:290], np.asarray(s_j)[:290], rtol=1e-5)
