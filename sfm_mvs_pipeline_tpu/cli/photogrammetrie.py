@@ -50,7 +50,10 @@ def print_usage() -> None:
                                      mesh, like the reference's TextureMesh)
   --dense                            run dense MVS
   --sgm                              use SGM instead of plane-sweep for depth
-  -Pdense-method=sweep|patchmatch    depth-map algorithm (default sweep;
+  -Pdense-method=rect|sweep|patchmatch   depth-map algorithm (default rect
+                                     = rectified disparity sweep, the
+                                     gather-free TPU-native engine;
+                                     sweep = joint plane-sweep volume;
                                      patchmatch = checkerboard PatchMatch,
                                      the reference's openMVS default)
   --mesh                             mesh the dense cloud
@@ -301,11 +304,11 @@ def _feature_cap(limit: int, w: int, h: int) -> int:
 
 def _dense_method(args: AppArgs) -> str:
     """Validated -Pdense-method= (reject typos instead of silently falling
-    back to plane sweep)."""
-    method = args.get("dense-method", "sweep").lower()
-    if method not in ("sweep", "patchmatch"):
+    back to a default)."""
+    method = args.get("dense-method", "rect").lower()
+    if method not in ("rect", "sweep", "patchmatch"):
         raise ValueError(
-            f"unknown -Pdense-method={method} (expected sweep|patchmatch)"
+            f"unknown -Pdense-method={method} (expected rect|sweep|patchmatch)"
         )
     return method
 

@@ -34,10 +34,13 @@ class MVSConfig:
     use_sgm: bool = False
     sgm_p1: float = 0.03
     sgm_p2: float = 0.3
-    # depth-map method: "sweep" (plane-sweep cost volume, TPU default) or
-    # "patchmatch" (checkerboard PatchMatch, the reference's openMVS
-    # default dense algorithm re-shaped for TPU; mvs/patchmatch.py)
-    method: str = "sweep"
+    # depth-map method:
+    #   "rect"       rectified pairwise disparity sweep (mvs/rectified.py)
+    #                — the gather-free TPU default, ~20x the plane sweep
+    #   "sweep"      joint plane-sweep cost volume (mvs/plane_sweep.py)
+    #   "patchmatch" checkerboard PatchMatch (mvs/patchmatch.py), the
+    #                reference's openMVS default re-shaped for TPU
+    method: str = "rect"
     pm_iterations: int = 8
     mesh: bool = False
     decimate: bool = True
@@ -120,8 +123,9 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
     intr_pinhole = intr.copy()
     intr_pinhole[3:] = 0.0  # images get undistorted below
 
-    method = "SGM" if cfg.use_sgm else (
-        "PatchMatch" if cfg.method == "patchmatch" else "plane-sweep")
+    method = "SGM" if cfg.use_sgm else {
+        "patchmatch": "PatchMatch", "sweep": "plane-sweep",
+    }.get(cfg.method, "rectified-sweep")
     log(f"densifying {len(rec)} views at {w}x{h} "
         f"({method}, {cfg.n_planes} planes)")
 
@@ -210,6 +214,32 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
                 window_radius=cfg.window_radius,
                 max_cost=cfg.max_cost,
                 nbr_valid=jnp.asarray(nb_ok),
+            )
+            depth_maps[i] = np.asarray(depth)
+            valids[i] = np.asarray(valid)
+            log(
+                f"view {s}: depth range [{z_lo:.2f}, {z_hi:.2f}], "
+                f"{int(valids[i].sum())}/{h*w} valid px"
+            )
+            if cfg.keep_artifacts:
+                np.save(
+                    os.path.join(out_dir, f"depth_{s:04d}.npy"), depth_maps[i]
+                )
+            continue
+        if cfg.method == "rect" and not cfg.use_sgm:
+            from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
+
+            cap = cfg.n_neighbors
+            nb = (nbrs + [nbrs[0]] * cap)[:cap]
+            nb_ok = np.zeros(cap, bool)
+            nb_ok[: min(len(nbrs), cap)] = True
+            depth, cost, valid = rectified_depth(
+                jnp.asarray(grays[i]), jnp.asarray(grays[nb]),
+                jnp.asarray(poses[i]), jnp.asarray(poses[nb]),
+                jnp.asarray(intr_pinhole, jnp.float32),
+                jnp.float32(z_lo), jnp.float32(z_hi),
+                n_levels=cfg.n_planes, window_radius=cfg.window_radius,
+                max_cost=cfg.max_cost, nbr_valid=jnp.asarray(nb_ok),
             )
             depth_maps[i] = np.asarray(depth)
             valids[i] = np.asarray(valid)

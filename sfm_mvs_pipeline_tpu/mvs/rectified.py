@@ -1,0 +1,294 @@
+"""Rectified pairwise disparity sweep: the gather-free TPU dense engine.
+
+Why this exists: every warp-based depth engine (plane sweep, PatchMatch)
+pays one gather per sampled pixel, and on this TPU generation XLA gathers
+run at ~110 M elem/s regardless of coherence — two orders of magnitude
+below VPU throughput. A 96-plane 5-neighbor sweep at 480x640 spends ~5 s
+of its 7.5 s in gathers alone. The classic stereo answer is RECTIFICATION:
+after rotating both cameras of a pair onto the baseline, every depth
+hypothesis becomes a CONSTANT-DISPARITY SHIFT (dsp = f*b/z), and shifts
+are dynamic slices — effectively free on TPU. Gathers remain only in the
+two fixed per-pair warps (image -> rectified frame) and the one warp-back
+of the result maps: 3 warps per pair instead of planes x pixels.
+
+Geometry (Fusiello-style rectification, all in world frame):
+  e1 = (C_n - C_r)/b          new x-axis: the baseline
+  e2 = normalize(r3 x e1)     r3 = ref optical axis (3rd row of R_r)
+  e3 = e1 x e2
+  R_R = [e1; e2; e3]          world -> rectified axes (shared orientation)
+A world point X has rectified-ref coords X1 = R_R (X - C_r) and
+rectified-nbr coords X2 = X1 - [b, 0, 0]: same y and z, x shifted by b —
+so pixel correspondence is u_n = u_r - f*b/z with identical rows.
+
+Scoring is IDENTICAL to plane_sweep (ZNCC over a box window, mean of the
+best half of neighbors is replaced by per-pair WTA + cross-neighbor
+consensus — see `rectified_depth`): per disparity level the neighbor image
+is shifted (integer part) and lerped (fractional part), box statistics ride
+the same separable cumulative sums.
+
+Degenerate pairs — near-forward motion (baseline within ~18 deg of the
+optical axis, where the epipole enters the image and rectification blows
+up) or near-zero baseline — are masked out (cost 1, invalid) rather than
+branched around: the neighbor simply contributes nothing, mirroring how
+the reference skips failing views (SfM.cpp:304-309).
+
+Parity note: the reference's dense engine is openMVS PatchMatch/SGM over
+per-view depth maps (ref: src/photogrammetrie/mvs/MVS.cpp:100-181); this
+module is the TPU-first formulation of the same per-view depth-map
+estimation contract (depth, cost, valid per reference view).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sfm_mvs_pipeline_tpu.models.cameras import intrinsics_to_K
+from sfm_mvs_pipeline_tpu.mvs.plane_sweep import _bilinear_hw, _box_filter
+from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat
+
+
+def _homography_warp(img: jax.Array, Hinv: jax.Array):
+    """Inverse-warp img through homography H (dst->src = Hinv): returns
+    (warped (H, W), inside (H, W))."""
+    h, w = img.shape
+    dt = img.dtype
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=dt), jnp.arange(w, dtype=dt), indexing="ij"
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], 0).reshape(3, -1)
+    src = Hinv @ pix
+    z = jnp.where(jnp.abs(src[2]) < 1e-9, 1e-9, src[2])
+    sx = (src[0] / z).reshape(h, w)
+    sy = (src[1] / z).reshape(h, w)
+    vals, inside = _bilinear_hw(img, sx, sy)
+    return vals, inside
+
+
+def _shift_x(img: jax.Array, pad: jax.Array, shift_int: jax.Array, maxd: int):
+    """out[y, x] = img[y, x - shift_int] via dynamic slice of a pre-padded
+    (H, maxd + W) buffer; shift_int in [0, maxd]."""
+    h, w = img.shape
+    zero = jnp.zeros((), shift_int.dtype)
+    return jax.lax.dynamic_slice(
+        pad, (zero, jnp.asarray(maxd, shift_int.dtype) - shift_int), (h, w)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "window_radius", "max_disp"),
+)
+def rectified_pair_depth(
+    ref_img: jax.Array,  # (H, W) grayscale f32
+    nbr_img: jax.Array,  # (H, W)
+    pose_r: jax.Array,  # (6,) world->cam angle-axis|t
+    pose_n: jax.Array,
+    intr: jax.Array,  # (7,) pinhole intrinsics at this resolution
+    z_min: float | jax.Array,
+    z_max: float | jax.Array,
+    n_levels: int = 96,
+    window_radius: int = 3,
+    max_cost: float = 0.4,
+    max_disp: int = 256,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One-pair rectified disparity sweep.
+
+    Returns (depth (H, W), cost (H, W), valid (H, W)) in the REFERENCE
+    view's frame (depth along the ref optical axis) — same contract as
+    plane_sweep.wta_depth. max_disp bounds the static shift buffer; level
+    disparities are clipped into it (a too-small bound softly truncates
+    the near range).
+    """
+    h, w = ref_img.shape
+    dt = ref_img.dtype
+    K = intrinsics_to_K(intr).astype(dt)
+    Kinv = jnp.linalg.inv(K)
+
+    R_r = aa_to_rotmat(pose_r[:3]).astype(dt)
+    R_n = aa_to_rotmat(pose_n[:3]).astype(dt)
+    C_r = -R_r.T @ pose_r[3:].astype(dt)
+    C_n = -R_n.T @ pose_n[3:].astype(dt)
+    base = C_n - C_r
+    b = jnp.linalg.norm(base)
+    ok_b = b > 1e-9
+    e1 = base / jnp.maximum(b, 1e-12)
+    r3 = R_r[2]  # ref optical axis in world
+    # degenerate when baseline ~ parallel to the optical axis
+    c2 = jnp.cross(r3, e1)
+    n2 = jnp.linalg.norm(c2)
+    ok_geom = ok_b & (n2 > 0.3)  # sin of axis/baseline angle > ~17 deg
+    e2 = c2 / jnp.maximum(n2, 1e-12)
+    e3 = jnp.cross(e1, e2)
+    R_R = jnp.stack([e1, e2, e3])  # world -> rectified axes
+
+    # homographies pixel_ref -> pixel_rect and pixel_nbr -> pixel_rect
+    H_ref = K @ R_R @ R_r.T @ Kinv
+    H_nbr = K @ R_R @ R_n.T @ Kinv
+    ref_rect, in_r = _homography_warp(ref_img, jnp.linalg.inv(H_ref))
+    nbr_rect, in_n = _homography_warp(nbr_img, jnp.linalg.inv(H_nbr))
+
+    f = intr[0].astype(dt)
+    iz = jnp.linspace(
+        1.0 / jnp.asarray(z_max, dt), 1.0 / jnp.asarray(z_min, dt), n_levels
+    )
+    disps = jnp.clip(f * b * iz, 0.0, float(max_disp))
+
+    # ref-side window stats (candidate-invariant)
+    r_area = (2 * window_radius + 1) ** 2
+    r_sum = _box_filter(ref_rect, window_radius)
+    r_sq = _box_filter(ref_rect * ref_rect, window_radius)
+    r_mean = r_sum / r_area
+    r_var = jnp.maximum(r_sq / r_area - r_mean * r_mean, 1e-8)
+
+    nbr_val = jnp.where(in_n, nbr_rect, 0.0)
+    pad_img = jnp.pad(nbr_val, ((0, 0), (max_disp, 0)))
+    pad_in = jnp.pad(in_n.astype(dt), ((0, 0), (max_disp, 0)))
+
+    def level_cost(d):
+        di = jnp.floor(d).astype(jnp.int32)
+        frac = d - di.astype(dt)
+        s0 = _shift_x(nbr_val, pad_img, di, max_disp)
+        s1 = _shift_x(nbr_val, pad_img, di + 1, max_disp)
+        m0 = _shift_x(in_n.astype(dt), pad_in, di, max_disp)
+        m1 = _shift_x(in_n.astype(dt), pad_in, di + 1, max_disp)
+        warped = (1 - frac) * s0 + frac * s1
+        inside = (m0 * m1) > 0.5
+        w_sum = _box_filter(warped, window_radius)
+        w_sq = _box_filter(warped * warped, window_radius)
+        rw = _box_filter(ref_rect * warped, window_radius)
+        w_mean = w_sum / r_area
+        w_var = jnp.maximum(w_sq / r_area - w_mean * w_mean, 1e-8)
+        cov = rw / r_area - r_mean * w_mean
+        zncc = cov / jnp.sqrt(r_var * w_var)
+        cost = (1.0 - jnp.clip(zncc, -1.0, 1.0)) * 0.5
+        return jnp.where(inside & in_r, cost, 1.0)
+
+    cv = jax.lax.map(level_cost, disps)  # (D, H, W) in the RECTIFIED frame
+
+    # WTA + parabola refinement over inverse depth (same as wta_depth)
+    d_idx = jnp.argmin(cv, axis=0)
+    dmax = n_levels - 1
+    cmin = jnp.min(cv, axis=0)
+
+    def at(idx):
+        return jnp.take_along_axis(cv, jnp.clip(idx, 0, dmax)[None], axis=0)[0]
+
+    c0 = at(d_idx - 1)
+    c2_ = at(d_idx + 1)
+    denom = c0 - 2 * cmin + c2_
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (c0 - c2_) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    i1 = iz[d_idx]
+    i0 = iz[jnp.clip(d_idx - 1, 0, dmax)]
+    i2 = iz[jnp.clip(d_idx + 1, 0, dmax)]
+    iz_rect = jnp.where(delta >= 0, i1 + delta * (i2 - i1), i1 - delta * (i0 - i1))
+    interior = (d_idx > 0) & (d_idx < dmax)
+    val_rect = (cmin <= max_cost) & interior & ok_geom
+
+    # ---- warp back to the REFERENCE frame.
+    # iz here parameterizes RECT-frame z: z_rect = 1/iz. For ref pixel p,
+    # its rect pixel is q = H_ref p; the 3D point is X1 = z_rect K^-1 q,
+    # and ref-frame depth is the 3rd coord of R_r R_R^T X1.
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=dt), jnp.arange(w, dtype=dt), indexing="ij"
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], 0).reshape(3, -1)
+    q = H_ref @ pix
+    qz = jnp.where(jnp.abs(q[2]) < 1e-9, 1e-9, q[2])
+    qx = (q[0] / qz).reshape(h, w)
+    qy = (q[1] / qz).reshape(h, w)
+    iz_ref, q_in = _bilinear_hw(iz_rect, qx, qy)
+    # nearest-sampled validity AND all 4 bilinear taps valid enough
+    vmap_f, _ = _bilinear_hw(val_rect.astype(dt), qx, qy)
+    cost_ref, _ = _bilinear_hw(cmin, qx, qy)
+
+    z_rect = 1.0 / jnp.maximum(iz_ref, 1e-9)
+    qn = jnp.stack([qx, qy, jnp.ones_like(qx)], 0).reshape(3, -1)
+    X1 = (Kinv @ qn) * z_rect.reshape(-1)[None]
+    z_ref = ((R_r @ R_R.T) @ X1)[2].reshape(h, w)
+
+    valid = q_in & (vmap_f > 0.999) & (z_ref > 1e-6) & ok_geom
+    return z_ref, cost_ref, valid
+
+
+def consensus_fuse(
+    depths: jax.Array,  # (N, H, W) per-neighbor ref-frame depths
+    costs: jax.Array,  # (N, H, W)
+    valids: jax.Array,  # (N, H, W) bool
+    rel_tol: float = 0.02,
+    min_support: int = 2,
+    max_cost: float = 0.4,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Cross-neighbor consensus: per pixel pick the depth supported by the
+    most neighbors (within rel_tol), averaging the supporters.
+
+    The rectified engine estimates depth per PAIR; this replaces the joint
+    best-half cost aggregation of sweep_cost_volume with a depth-domain
+    vote, which is equally standard (pairwise stereo + fusion) and keeps
+    everything gather-free. Returns (depth, cost, valid)."""
+    n = depths.shape[0]
+    big = jnp.asarray(1e30, depths.dtype)
+    d = jnp.where(valids, depths, big)
+    # support[i] = #j with |d_j - d_i| <= rel_tol * d_i
+    diff = jnp.abs(d[None, :] - d[:, None])  # (N, N, H, W)
+    close = (diff <= rel_tol * d[:, None]) & valids[None, :] & valids[:, None]
+    support = close.sum(axis=1)  # (N, H, W)
+    # prefer max support, tie-break on cost
+    score = support.astype(depths.dtype) * 1e3 - costs
+    best = jnp.argmax(jnp.where(valids, score, -big), axis=0)  # (H, W)
+
+    take = functools.partial(jnp.take_along_axis, indices=best[None], axis=0)
+    close_b = jnp.take_along_axis(
+        close, best[None, None], axis=0
+    )[0]  # (N, H, W): supporters of the winner
+    wsum = jnp.where(close_b, depths, 0.0).sum(axis=0)
+    wcnt = close_b.sum(axis=0)
+    depth = wsum / jnp.maximum(wcnt, 1)
+    cost = take(costs)[0]
+    n_valid = valids.any(axis=0)
+    need = jnp.minimum(min_support, jnp.maximum(valids.sum(axis=0), 1))
+    valid = n_valid & (wcnt >= need) & (cost <= max_cost)
+    return depth, cost, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "window_radius", "max_disp"),
+)
+def rectified_depth(
+    ref_img: jax.Array,  # (H, W)
+    nbr_imgs: jax.Array,  # (N, H, W)
+    pose_r: jax.Array,
+    poses_n: jax.Array,  # (N, 6)
+    intr: jax.Array,
+    z_min: float | jax.Array,
+    z_max: float | jax.Array,
+    n_levels: int = 96,
+    window_radius: int = 3,
+    max_cost: float = 0.4,
+    max_disp: int = 256,
+    nbr_valid: jax.Array | None = None,  # (N,) bool
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-neighbor rectified depth for one reference view: per-pair
+    rectified sweeps + cross-neighbor consensus. Same contract as
+    plane_sweep-based depth (depth, cost, valid in the ref frame)."""
+    if nbr_valid is None:
+        nbr_valid = jnp.ones(nbr_imgs.shape[0], bool)
+
+    def one(args):
+        nbr_img, pose_n, ok = args
+        d, c, v = rectified_pair_depth(
+            ref_img, nbr_img, pose_r, pose_n, intr, z_min, z_max,
+            n_levels=n_levels, window_radius=window_radius,
+            max_cost=max_cost, max_disp=max_disp,
+        )
+        return d, jnp.where(ok, c, 1.0), v & ok
+
+    depths, costs, valids = jax.lax.map(one, (nbr_imgs, poses_n, nbr_valid))
+    return consensus_fuse(
+        depths, costs, valids, max_cost=max_cost,
+        min_support=2,
+    )

@@ -87,6 +87,18 @@ def compute_depth_maps_sharded(
     def work(vids, nidx, nval, pl, grays_, poses_, intr_):
         def one(args):
             vid, nbrs, nv, planes_v = args
+            if method == "rect" and not use_sgm:
+                from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
+
+                depth, _cost, valid = rectified_depth(
+                    grays_[vid], grays_[nbrs], poses_[vid], poses_[nbrs],
+                    intr_, jnp.min(planes_v), jnp.max(planes_v),
+                    n_levels=planes_v.shape[0],
+                    window_radius=window_radius, max_cost=max_cost,
+                    nbr_valid=nv,
+                )
+                any_nbr = jnp.any(nv)
+                return jnp.where(any_nbr, depth, 0.0), valid & any_nbr
             if method == "patchmatch" and not use_sgm:
                 from sfm_mvs_pipeline_tpu.mvs.patchmatch import patchmatch_depth
 

@@ -125,7 +125,8 @@ def test_reference_cli_defaults():
     assert _feature_cap(unlimited, 240, 135) < _feature_cap(unlimited, 1920, 1080)
 
     assert _dense_method(AppArgs(["-Pdense-method=patchmatch"])) == "patchmatch"
-    assert _dense_method(AppArgs([])) == "sweep"
+    assert _dense_method(AppArgs(["-Pdense-method=sweep"])) == "sweep"
+    assert _dense_method(AppArgs([])) == "rect"
     with pytest.raises(ValueError):
         _dense_method(AppArgs(["-Pdense-method=patchmach"]))
 

@@ -308,3 +308,40 @@ def test_patchmatch_seeded_matches_unseeded(plane_scene):
     err = np.abs(np.asarray(d1) - gt[r]) / gt[r]
     assert np.asarray(v1).mean() > 0.6
     assert np.median(err[np.asarray(v1)]) < 0.01
+
+
+def test_rectified_depth(plane_scene):
+    """The gather-free rectified disparity engine must resolve the
+    two-plane scene like the plane sweep (same ZNCC scoring; per-pair WTA
+    + cross-neighbor consensus instead of joint aggregation)."""
+    from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
+
+    grays, gt, poses, intr = plane_scene
+    r, nbrs = 2, [0, 1, 3, 4]
+    depth, cost, valid = rectified_depth(
+        jnp.asarray(grays[r]), jnp.asarray(grays[nbrs]),
+        jnp.asarray(poses[r]), jnp.asarray(poses[nbrs]),
+        jnp.asarray(intr), 6.0, 16.0, n_levels=64, max_cost=0.35,
+    )
+    depth = np.asarray(depth)
+    valid = np.asarray(valid)
+    assert valid.mean() > 0.6, f"valid fraction {valid.mean()}"
+    rel = np.abs(depth - gt[r]) / gt[r]
+    med = np.median(rel[valid])
+    assert med < 0.01, f"median relative depth error {med}"
+
+
+def test_rectified_degenerate_baseline_masked(plane_scene):
+    """A pure forward-motion pair (baseline along the optical axis) cannot
+    be rectified: the engine must mask it out instead of producing junk."""
+    from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_pair_depth
+
+    grays, gt, poses, intr = plane_scene
+    pose_fwd = np.zeros(6, np.float32)
+    pose_fwd[5] = -0.3  # camera moved along +z
+    d, c, v = rectified_pair_depth(
+        jnp.asarray(grays[2]), jnp.asarray(grays[2]),
+        jnp.asarray(poses[2]), jnp.asarray(pose_fwd),
+        jnp.asarray(intr), 6.0, 16.0, n_levels=16,
+    )
+    assert not np.asarray(v).any()

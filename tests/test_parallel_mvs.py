@@ -129,3 +129,38 @@ def test_sharded_patchmatch(rng):
     assert abs(np.median(got) - 5.0) < 0.5
     # continuous depths (not the 16-plane ladder)
     assert len(np.unique(got)) > 100
+
+
+def test_sharded_rect_matches_sequential(rng):
+    """method="rect" (the gather-free default engine) through the sharded
+    path equals the sequential per-view calls and recovers the z=5 plane."""
+    from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
+
+    grays, poses, intr = _camera_ring(rng)
+    V = len(grays)
+    planes = np.stack(
+        [np.asarray(make_depth_planes(3.0, 8.0, 16), np.float32)] * V
+    )
+    neighbors = {v: [u for u in range(V) if u != v][:3] for v in range(V)}
+    nbr_idx, nbr_valid = fixed_neighbor_table(neighbors, list(range(V)), 3)
+
+    mesh = make_mesh()
+    depth_sh, valid_sh = compute_depth_maps_sharded(
+        mesh, grays, poses, intr, nbr_idx, nbr_valid, planes,
+        window_radius=2, max_cost=0.5, method="rect",
+    )
+    assert valid_sh.any()
+    got = depth_sh[valid_sh]
+    assert abs(np.median(got) - 5.0) < 0.5
+
+    for v in range(V):
+        d, _, val = rectified_depth(
+            jnp.asarray(grays[v]), jnp.asarray(grays[nbr_idx[v]]),
+            jnp.asarray(poses[v]), jnp.asarray(poses[nbr_idx[v]]),
+            jnp.asarray(intr), jnp.float32(planes[v].min()),
+            jnp.float32(planes[v].max()), n_levels=16,
+            window_radius=2, max_cost=0.5,
+            nbr_valid=jnp.asarray(nbr_valid[v]),
+        )
+        np.testing.assert_allclose(depth_sh[v], np.asarray(d), atol=1e-4)
+        np.testing.assert_array_equal(valid_sh[v], np.asarray(val))
