@@ -11,10 +11,15 @@ import os
 import numpy as np
 import pytest
 
-INSEL = "/root/reference/images/insel"
+# the repo bundles a downscaled copy of the dataset (sample_data/README.md)
+# so the smoke tests run standalone; the full-res original is only needed
+# by the ATE test
+INSEL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "sample_data", "insel",
+)
 
 
-@pytest.mark.skipif(not os.path.isdir(INSEL), reason="insel images not available")
 def test_insel_cli_end_to_end(tmp_path):
     import cv2
 
@@ -61,3 +66,41 @@ def test_insel_cli_end_to_end(tmp_path):
     live = scene.point_valid
     # colors live in the checkpoint; at least some color variation expected
     assert scene.colors[live][:, :3].max() > 30
+
+
+def test_insel_cli_dense_mesh_end_to_end(tmp_path):
+    """--dense --mesh --colored through the CLI on the bundled dataset
+    (mirrors the reference fast-test flags, build.sh:233-239): the dense
+    cloud and textured mesh must be written and non-trivial. Runs at
+    240x135 with the default rectified engine so it stays in CI budget."""
+    import cv2
+
+    from sfm_mvs_pipeline_tpu.cli.app import main
+    from sfm_mvs_pipeline_tpu.utils.ply import read_ply
+
+    data = tmp_path / "insel_small"
+    data.mkdir()
+    for name in sorted(os.listdir(INSEL)):
+        img = cv2.imread(os.path.join(INSEL, name))
+        img = cv2.resize(img, (240, 135), interpolation=cv2.INTER_AREA)
+        cv2.imwrite(str(data / name), img)
+
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "-Prun=photogrammetrie",
+            f"-Pimage={data}",
+            f"-Pout={out}",
+            "-Pfeature-limit=512",
+            "--colored",
+            "--dense",
+            "--mesh",
+        ]
+    )
+    assert rc == 0
+    dense = read_ply(str(out / "pointcloud_dense.ply"))
+    assert len(dense["points"]) > 1000, "dense cloud too small"
+    assert dense["colors"] is not None and dense["colors"][:, :3].max() > 30
+    mesh = read_ply(str(out / "mesh_dense.ply"))
+    assert len(mesh["points"]) > 200
+    assert len(mesh["faces"]) > 200

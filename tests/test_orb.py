@@ -13,9 +13,15 @@ from sfm_mvs_pipeline_tpu.ops.matching import (
 
 
 def _insel(n=2):
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sample_data", "insel",
+    )
     return np.stack(
         [
-            cv2.imread(f"/root/reference/images/insel/{i}.jpg", cv2.IMREAD_GRAYSCALE)
+            cv2.imread(os.path.join(base, f"{i}.jpg"), cv2.IMREAD_GRAYSCALE)
             for i in range(1, n + 1)
         ]
     )
