@@ -211,7 +211,9 @@ def _bench_dense():
     t = _chain(lambda v: sgm_aggregate(v), cv, 5)
     out["sgm_ms"] = round(t * 1e3, 1)
 
-    # PatchMatch at the r2 VERDICT's comparison size (360x202, 3 nbrs)
+    # PatchMatch at the r2 VERDICT's comparison size (360x202, 3 nbrs):
+    # classic random-init 8-iteration schedule, and the pipeline's default
+    # rect-seeded 2-iteration schedule
     h2, w2 = 202, 360
     ref2 = jnp.asarray(rng.random((h2, w2)).astype(np.float32))
     nbrs2 = jnp.asarray(rng.random((3, h2, w2)).astype(np.float32))
@@ -223,6 +225,19 @@ def _bench_dense():
         ref2, 2,
     )
     out["patchmatch_s_per_view"] = round(t, 2)
+
+    def seeded(r):
+        sd, _sc, sv = rectified_depth(
+            r, nbrs2, pose_r, poses_n[:3], intr, 5.0, 20.0, n_levels=Dp
+        )
+        return patchmatch_depth(
+            r, nbrs2, pose_r, poses_n[:3], intr, 5.0, 20.0,
+            jax.random.PRNGKey(0), init_depth=sd, init_valid=sv,
+            iterations=2,
+        )[0]
+
+    t = _chain(seeded, ref2, 2)
+    out["patchmatch_seeded_s_per_view"] = round(t, 2)
     return out
 
 

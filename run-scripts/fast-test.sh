@@ -5,7 +5,8 @@
 # INSEL_IMAGES=<dir>.
 set -e
 cd "$(dirname "$0")/.."
-IMAGES="${INSEL_IMAGES:-/root/reference/images/insel}"
+IMAGES="${INSEL_IMAGES:-$(pwd)/sample_data/insel}"
+# (full-res original: INSEL_IMAGES=/root/reference/images/insel)
 OUT="${1:-out-fast-test}"
 python -m sfm_mvs_pipeline_tpu -Ploglevel=0 -Prun=photogrammetrie \
     -Pimage="$IMAGES" -Pout="$OUT"

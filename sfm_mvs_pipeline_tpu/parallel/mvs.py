@@ -46,6 +46,7 @@ def compute_depth_maps_sharded(
     max_cost: float = 0.35,
     method: str = "sweep",
     pm_iterations: int = 8,
+    pm_seed_rect: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (depth (V, H, W) f32, valid (V, H, W) bool).
 
@@ -101,12 +102,26 @@ def compute_depth_maps_sharded(
                 return jnp.where(any_nbr, depth, 0.0), valid & any_nbr
             if method == "patchmatch" and not use_sgm:
                 from sfm_mvs_pipeline_tpu.mvs.patchmatch import patchmatch_depth
+                from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
 
+                seed_d = seed_v = None
+                pm_iters = pm_iterations
+                if pm_seed_rect:
+                    # same rect-seeded schedule as the sequential path
+                    seed_d, _sc, seed_v = rectified_depth(
+                        grays_[vid], grays_[nbrs], poses_[vid], poses_[nbrs],
+                        intr_, jnp.min(planes_v), jnp.max(planes_v),
+                        n_levels=planes_v.shape[0],
+                        window_radius=window_radius, max_cost=max_cost,
+                        nbr_valid=nv,
+                    )
+                    pm_iters = max(2, pm_iterations // 4)
                 depth, _cost, valid = patchmatch_depth(
                     grays_[vid], grays_[nbrs], poses_[vid], poses_[nbrs],
                     intr_, jnp.min(planes_v), jnp.max(planes_v),
                     jax.random.fold_in(jax.random.PRNGKey(0), vid),
-                    iterations=pm_iterations,
+                    init_depth=seed_d, init_valid=seed_v,
+                    iterations=pm_iters,
                     window_radius=window_radius, max_cost=max_cost,
                     nbr_valid=nv,
                 )
