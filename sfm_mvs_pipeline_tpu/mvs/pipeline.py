@@ -248,7 +248,10 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
                     os.path.join(out_dir, f"depth_{s:04d}.npy"), depth_maps[i]
                 )
             continue
-        if cfg.method == "rect" and not cfg.use_sgm:
+        if cfg.method == "rect":
+            # --sgm composes with the rectified engine: 4-path aggregation
+            # on the per-pair rectified disparity volume (its native
+            # geometry), not on the gather-based sweep volume
             from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
 
             cap = cfg.n_neighbors
@@ -262,6 +265,7 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
                 jnp.float32(z_lo), jnp.float32(z_hi),
                 n_levels=cfg.n_planes, window_radius=cfg.window_radius,
                 max_cost=cfg.max_cost, nbr_valid=jnp.asarray(nb_ok),
+                use_sgm=cfg.use_sgm, sgm_p1=cfg.sgm_p1, sgm_p2=cfg.sgm_p2,
             )
             depth_maps[i] = np.asarray(depth)
             valids[i] = np.asarray(valid)

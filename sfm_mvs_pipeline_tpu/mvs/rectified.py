@@ -79,7 +79,7 @@ def _shift_x(img: jax.Array, pad: jax.Array, shift_int: jax.Array, maxd: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_levels", "window_radius", "max_disp"),
+    static_argnames=("n_levels", "window_radius", "max_disp", "use_sgm"),
 )
 def rectified_pair_depth(
     ref_img: jax.Array,  # (H, W) grayscale f32
@@ -93,6 +93,9 @@ def rectified_pair_depth(
     window_radius: int = 3,
     max_cost: float = 0.4,
     max_disp: int = 256,
+    use_sgm: bool = False,
+    sgm_p1: float = 0.03,
+    sgm_p2: float = 0.3,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One-pair rectified disparity sweep.
 
@@ -101,6 +104,11 @@ def rectified_pair_depth(
     plane_sweep.wta_depth. max_disp bounds the static shift buffer; level
     disparities are clipped into it (a too-small bound softly truncates
     the near range).
+
+    use_sgm applies the 4-path SGM aggregation (mvs/sgm.py, the reference's
+    --sgm semantics, MVS.cpp:113-116) on the rectified disparity volume —
+    the geometry SGM is actually defined on, and ~20x cheaper than running
+    it on the gather-based plane-sweep volume.
     """
     h, w = ref_img.shape
     dt = ref_img.dtype
@@ -167,6 +175,10 @@ def rectified_pair_depth(
         return jnp.where(inside & in_r, cost, 1.0)
 
     cv = jax.lax.map(level_cost, disps)  # (D, H, W) in the RECTIFIED frame
+    if use_sgm:
+        from sfm_mvs_pipeline_tpu.mvs.sgm import sgm_aggregate
+
+        cv = sgm_aggregate(cv, sgm_p1, sgm_p2)
 
     # WTA + parabola refinement over inverse depth (same as wta_depth)
     d_idx = jnp.argmin(cv, axis=0)
@@ -256,7 +268,7 @@ def consensus_fuse(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_levels", "window_radius", "max_disp"),
+    static_argnames=("n_levels", "window_radius", "max_disp", "use_sgm"),
 )
 def rectified_depth(
     ref_img: jax.Array,  # (H, W)
@@ -271,6 +283,9 @@ def rectified_depth(
     max_cost: float = 0.4,
     max_disp: int = 256,
     nbr_valid: jax.Array | None = None,  # (N,) bool
+    use_sgm: bool = False,
+    sgm_p1: float = 0.03,
+    sgm_p2: float = 0.3,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Multi-neighbor rectified depth for one reference view: per-pair
     rectified sweeps + cross-neighbor consensus. Same contract as
@@ -284,6 +299,7 @@ def rectified_depth(
             ref_img, nbr_img, pose_r, pose_n, intr, z_min, z_max,
             n_levels=n_levels, window_radius=window_radius,
             max_cost=max_cost, max_disp=max_disp,
+            use_sgm=use_sgm, sgm_p1=sgm_p1, sgm_p2=sgm_p2,
         )
         return d, jnp.where(ok, c, 1.0), v & ok
 

@@ -88,7 +88,7 @@ def compute_depth_maps_sharded(
     def work(vids, nidx, nval, pl, grays_, poses_, intr_):
         def one(args):
             vid, nbrs, nv, planes_v = args
-            if method == "rect" and not use_sgm:
+            if method == "rect":
                 from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
 
                 depth, _cost, valid = rectified_depth(
@@ -97,6 +97,7 @@ def compute_depth_maps_sharded(
                     n_levels=planes_v.shape[0],
                     window_radius=window_radius, max_cost=max_cost,
                     nbr_valid=nv,
+                    use_sgm=use_sgm, sgm_p1=sgm_p1, sgm_p2=sgm_p2,
                 )
                 any_nbr = jnp.any(nv)
                 return jnp.where(any_nbr, depth, 0.0), valid & any_nbr

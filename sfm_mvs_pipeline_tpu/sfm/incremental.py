@@ -201,6 +201,7 @@ def reconstruct(
         return intr_d[scene.cam_of_shot[s]]
 
     def run_ba():
+        nonlocal intr_d
         model = CAMERA_MODELS[scene.camera_model]
         imask = np.zeros((len(scene.intrinsics), 7))
         imask[:, list(model.opt_mask)] = 1.0
@@ -238,6 +239,11 @@ def reconstruct(
         scene.points = out["points"]
         scene.poses = out["poses"]
         scene.intrinsics = out["intrinsics"]
+        # refresh the device copy: BA just changed f/k1/k2, and every later
+        # PnP / pair pose / triangulation must see the SAME intrinsics the
+        # points were optimized under (a stale copy made PnP reject views
+        # with near-zero inlier ratios on the insel sequence config)
+        intr_d = jnp.asarray(scene.intrinsics, _dt)
         stats["ba_runs"] += 1
         n_live = max(int((scene.obs_w > 0).sum()), 1)
         log(

@@ -130,12 +130,15 @@ def _ba(points, rvecs, tvecs, f, k1, k2, obs, img_size, fixed_cams):
 
 
 def oracle_reconstruct(image_paths, config: OracleConfig | None = None,
-                       size=None, log=lambda *a: None) -> dict:
+                       size=None, pairs=None, log=lambda *a: None) -> dict:
     """Run the cv2-oracle incremental SfM.
 
     Returns dict with centers (S, 3) camera centers in recovery order of
     shot id, rvecs/tvecs per recovered shot, points (P, 3), f/k1/k2.
     size: optional (w, h) to resize inputs (default: native size).
+    pairs: optional iterable of (a, b) candidate pairs (a < b) — the pair
+    policy (unordered default; pass a video/grid pair list to mirror the
+    reference's strategy selection, SfM.cpp strategies).
     """
     import cv2
 
@@ -172,8 +175,12 @@ def oracle_reconstruct(image_paths, config: OracleConfig | None = None,
     bf = cv2.BFMatcher(cv2.NORM_L2)
     pair_matches = {}
     ratios = {}
-    for a in range(S):
-        for b in range(a + 1, S):
+    cand = (
+        [(a, b) for a in range(S) for b in range(a + 1, S)]
+        if pairs is None else [tuple(p) for p in pairs]
+    )
+    for a, b in cand:
+        if True:
             if descs[a] is None or descs[b] is None:
                 continue
             knn = bf.knnMatch(descs[a], descs[b], k=2)

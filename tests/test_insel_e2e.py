@@ -104,3 +104,37 @@ def test_insel_cli_dense_mesh_end_to_end(tmp_path):
     mesh = read_ply(str(out / "mesh_dense.ply"))
     assert len(mesh["points"]) > 200
     assert len(mesh["faces"]) > 200
+
+
+def test_insel_sequence_mode_recovers_all_views(tmp_path):
+    """Sequence pairing (window 2) must register the out-of-baseline view.
+
+    Regression: a stale device copy of the intrinsics (not refreshed after
+    BA changed f/k1/k2) made PnP reject that view with a near-zero inlier
+    ratio; the cv2 oracle recovers 3/3 on the same config."""
+    import cv2
+
+    from sfm_mvs_pipeline_tpu.cli.app import main
+    from sfm_mvs_pipeline_tpu.utils.checkpoint import load_scene
+
+    data = tmp_path / "insel_small"
+    data.mkdir()
+    for name in sorted(os.listdir(INSEL)):
+        img = cv2.imread(os.path.join(INSEL, name))
+        img = cv2.resize(img, (240, 135), interpolation=cv2.INTER_AREA)
+        cv2.imwrite(str(data / name), img)
+
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "-Prun=photogrammetrie",
+            f"-Pimage={data}",
+            f"-Pout={out}",
+            "-Pfeature-limit=512",
+            "-Pfeature-sequence=2",
+            "-Ploglevel=4",
+        ]
+    )
+    assert rc == 0
+    scene = load_scene(str(out / "scene.npz"))
+    assert int(scene.recovered.sum()) == 3

@@ -345,3 +345,24 @@ def test_rectified_degenerate_baseline_masked(plane_scene):
         jnp.asarray(intr), 6.0, 16.0, n_levels=16,
     )
     assert not np.asarray(v).any()
+
+
+def test_rectified_sgm(plane_scene):
+    """--sgm through the rectified engine: 4-path aggregation on the
+    per-pair disparity volume must hold (or improve) the two-plane scene."""
+    from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
+
+    grays, gt, poses, intr = plane_scene
+    r, nbrs = 2, [0, 1, 3, 4]
+    depth, cost, valid = rectified_depth(
+        jnp.asarray(grays[r]), jnp.asarray(grays[nbrs]),
+        jnp.asarray(poses[r]), jnp.asarray(poses[nbrs]),
+        jnp.asarray(intr), 6.0, 16.0, n_levels=64, max_cost=0.35,
+        use_sgm=True,
+    )
+    depth = np.asarray(depth)
+    valid = np.asarray(valid)
+    assert valid.mean() > 0.6, f"valid fraction {valid.mean()}"
+    rel = np.abs(depth - gt[r]) / gt[r]
+    med = np.median(rel[valid])
+    assert med < 0.01, f"median relative depth error {med}"
