@@ -51,12 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.0e38
 
-# tile sizes: larger tiles amortize per-grid-step overhead; measured on the
-# v5e chip: (256, 512) -> 685 pairs/s, (1024, 1024) -> 726 pairs/s at
-# HIGHEST precision for the 8192x8192x128 benchmark shape. VMEM at
-# (1024, 1024): ~2 MB operand double-buffers + 1.5 MB accumulators + the
-# (TILE_Q, TILE_T) f32 score tile — well under the 16 MB budget.
-TILE_Q = 1024
+# tile sizes: larger query tiles amortize the per-grid-step accumulator
+# traffic; measured on the v5e chip for the 8192x8192x128 bf16-split shape:
+# (1024, 1024) -> 916 pairs/s, (2048, 1024) -> 976 pairs/s,
+# (1024, 2048) and (512, 2048) regress. VMEM at (2048, 1024): ~2.5 MB
+# operand double-buffers + 3 MB accumulators + the 8 MB f32 score tile —
+# inside the 16 MB budget; (2048, 2048) would blow it.
+TILE_Q = 2048
 TILE_T = 1024
 LANES = 128
 _SUB = TILE_T // LANES
