@@ -133,12 +133,16 @@ def build_texture_atlas(
 
     images_d = jnp.asarray(images, jnp.float32)
     texels = np.full((nf, block * block, 3), 128, np.uint8)
+    # ONE pow2 bucket sized by the total face count for every view: the
+    # per-view group sizes differ, and a bucket per size means a fresh
+    # remote compile per view (~tens of seconds each, the dominant cost of
+    # texturing a new scene); padded compute is cheap by comparison
+    m_all = max(64, 1 << int(np.ceil(np.log2(max(nf, 1)))))
     for v in np.unique(best):
         if v < 0:
             continue
         sel = np.nonzero(best == v)[0]
-        # pow2-pad the face batch: one compile per bucket, not per group size
-        m = max(64, 1 << int(np.ceil(np.log2(len(sel)))))
+        m = m_all
         p = np.zeros((m * block * block, 3), np.float32)
         p[: len(sel) * block * block] = pos[sel].reshape(-1, 3)
         samples = np.asarray(
