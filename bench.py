@@ -80,8 +80,28 @@ def _bench_match(dq, dt_arr):
         return best * ratio_test_mask(best, second, vq)
 
     dt_s = _chain(one, dq_d, TPU_ITERS)
-    _, _, _m = None, None, None
-    return 1.0 / dt_s, dt_s
+
+    # ORB path: +-1 Hamming expansion matched as bf16 (exact, single MXU
+    # pass, D=256) — the binary-descriptor headline
+    ham_rate = None
+    if use_pallas:
+
+        dqb = jnp.sign(dq_d).astype(jnp.bfloat16)
+        dqb = jnp.concatenate([dqb, dqb], axis=1)  # D=256 like rBRIEF
+        dtb = jnp.sign(dt_d).astype(jnp.bfloat16)
+        dtb = jnp.concatenate([dtb, dtb], axis=1)
+
+        def one_h(q):
+            # the chain's carry perturbation promotes to f32; cast back so
+            # the kernel sees bf16 (+-1 values survive the cast exactly)
+            idx, best, second = two_nn_pallas(
+                q.astype(jnp.bfloat16), dtb, vq, vt
+            )
+            return best * ratio_test_mask(best, second, vq)
+
+        t_h = _chain(one_h, dqb, TPU_ITERS)
+        ham_rate = 1.0 / t_h
+    return 1.0 / dt_s, dt_s, ham_rate
 
 
 def _floors():
@@ -306,7 +326,7 @@ def main() -> int:
     last_err = None
     for _attempt in range(RETRIES):
         try:
-            tpu_rate, match_s = _bench_match(dq, dt_arr)
+            tpu_rate, match_s, ham_rate = _bench_match(dq, dt_arr)
             break
         except Exception as e:  # tunnel flake: retry
             last_err = e
@@ -326,6 +346,8 @@ def main() -> int:
         return 1
 
     extra = {}
+    if ham_rate:
+        extra["match_hamming_pairs_per_s"] = round(ham_rate, 1)
     try:
         mxu, vpu, hbm = _floors()
         pct, parts = _match_roofline(match_s, mxu, vpu, hbm)
