@@ -1,0 +1,193 @@
+"""Head-to-head: TPU pipeline vs the cv2-oracle reference stack
+(VERDICT r3 items 5 and 6).
+
+Same inputs, wall-clock + frames/s for BOTH sides, plus trajectory
+agreement on a dataset long enough (>=8 views) that sim(3) alignment is
+actually constrained:
+
+  insel   -- the reference fast-test workload (3 real images, full res,
+             unordered pairs, feature-limit 0/unlimited)
+  synth12 -- 12 rendered views, 240x320, sequence-3 pairs, limit 800
+             (the oracle and the TPU CLI see the SAME JPEGs; the renderer's
+             exact poses give the absolute truth)
+
+The oracle (utils/oracle.py) re-enacts the reference call stack
+(SfM.cpp:143-381: cv2.SIFT -> BFMatcher.knnMatch -> findHomography ->
+recoverPose -> solvePnPRansac -> scipy trf BA) on this host's CPU — the
+same machine class the C++ reference targets, so its wall-clock is the
+honest stand-in for the unbuildable reference binary.
+
+Writes JSON to stdout (and /tmp/headtohead.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def _traj_of_scene(scene_path):
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat
+    from sfm_mvs_pipeline_tpu.utils.checkpoint import load_scene
+
+    scene = load_scene(scene_path)
+    rec = np.nonzero(scene.recovered)[0]
+    C, R = [], []
+    for s in rec:
+        Rm = np.asarray(aa_to_rotmat(scene.poses[s][:3]))
+        C.append(-Rm.T @ scene.poses[s][3:])
+        R.append(Rm)
+    return rec, np.asarray(C), np.asarray(R)
+
+
+def _run_cli(image_dir, extra, out_dir):
+    from sfm_mvs_pipeline_tpu.cli.app import main as cli_main
+
+    t0 = time.perf_counter()
+    rc = cli_main(
+        ["-Prun=photogrammetrie", f"-Pimage={image_dir}", f"-Pout={out_dir}",
+         "-Ploglevel=4"] + extra
+    )
+    return time.perf_counter() - t0, rc
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "SFM_MVS_TPU_CACHE", os.path.expanduser("~/.cache/sfm_mvs_tpu_xla")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    from sfm_mvs_pipeline_tpu.utils.metrics import trajectory_compare
+    from sfm_mvs_pipeline_tpu.utils.oracle import OracleConfig, oracle_reconstruct
+    from sfm_mvs_pipeline_tpu.utils.synth import render_views
+
+    out = {"backend": jax.default_backend()}
+    tmp = tempfile.mkdtemp(prefix="h2h_")
+
+    # ---------------- insel (reference fast-test workload)
+    insel = "/root/reference/images/insel"
+    if not os.path.isdir(insel):
+        insel = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "sample_data", "insel",
+        )
+    paths = sorted(
+        os.path.join(insel, p) for p in os.listdir(insel)
+        if p.lower().endswith((".jpg", ".png"))
+    )
+    n_ins = len(paths)
+
+    t0 = time.perf_counter()
+    orc = oracle_reconstruct(paths, OracleConfig())
+    t_oracle_insel = time.perf_counter() - t0
+    out["insel"] = {
+        "views": n_ins,
+        "oracle_s": round(t_oracle_insel, 2),
+        "oracle_fps": round(n_ins / t_oracle_insel, 3),
+        "oracle_recovered": int(len(orc["centers"])),
+    }
+
+    cli_out = os.path.join(tmp, "insel_out")
+    el, rc = _run_cli(insel, ["-Pfeature-limit=0"], cli_out)
+    # second run = warm-cache wall (compiles amortized across a session)
+    el2, rc2 = _run_cli(insel, ["-Pfeature-limit=0"], cli_out)
+    out["insel"].update(
+        {
+            "tpu_s": round(min(el, el2), 2),
+            "tpu_fps": round(n_ins / min(el, el2), 3),
+            "tpu_rc": rc2,
+        }
+    )
+    print("insel", out["insel"], flush=True)
+
+    # ---------------- 12-view synthetic, sequence-3
+    views = os.path.join(tmp, "views12")
+    vpaths, gt_R, gt_C = render_views(views, n_views=12)
+    seq_pairs = [
+        (a, b) for a in range(12) for b in (a + 1, a + 2) if b < 12
+    ]
+
+    t0 = time.perf_counter()
+    orc12 = oracle_reconstruct(
+        vpaths, OracleConfig(feature_limit=800), pairs=seq_pairs
+    )
+    t_oracle_12 = time.perf_counter() - t0
+
+    cli_out12 = os.path.join(tmp, "views12_out")
+    el, rc = _run_cli(
+        views, ["-Pfeature-limit=800", "-Pfeature-sequence=3"], cli_out12
+    )
+    el2, rc2 = _run_cli(
+        views, ["-Pfeature-limit=800", "-Pfeature-sequence=3"], cli_out12
+    )
+    t_tpu_12 = min(el, el2)
+
+    rec, tpu_C, tpu_R = _traj_of_scene(os.path.join(cli_out12, "scene.npz"))
+    orc_C = np.asarray(orc12["centers"])
+    orc_rec = np.asarray(orc12.get("recovered", np.arange(len(orc_C))))
+
+    out["synth12"] = {
+        "views": 12,
+        "oracle_s": round(t_oracle_12, 2),
+        "oracle_fps": round(12 / t_oracle_12, 3),
+        "tpu_s": round(t_tpu_12, 2),
+        "tpu_fps": round(12 / t_tpu_12, 3),
+        "tpu_recovered": int(len(rec)),
+        "oracle_recovered": int(len(orc_C)),
+        "tpu_rc": rc2,
+    }
+
+    # trajectory agreement where sim(3) is constrained (>=8 views):
+    extent = float(np.linalg.norm(gt_C[-1] - gt_C[0]))
+    cmp_gt = trajectory_compare(tpu_C, tpu_R, gt_C[rec], gt_R[rec])
+    out["synth12"]["tpu_vs_gt_ate_pct"] = round(
+        cmp_gt["ate_rmse"] / extent * 100.0, 4
+    )
+    out["synth12"]["tpu_vs_gt_maxrot_deg"] = round(
+        cmp_gt["max_rel_rot_deg"], 3
+    )
+    # oracle vs TPU on the common recovered subset (orders by shot id)
+    common = sorted(set(int(s) for s in rec) & set(int(s) for s in orc_rec))
+    if len(common) >= 8:
+        import cv2
+
+        ti = [list(rec).index(s) for s in common]
+        oi = [list(orc_rec).index(s) for s in common]
+        orc_R = np.stack(
+            [cv2.Rodrigues(orc12["rvecs"][s])[0] for s in common]
+        )
+        cmp_o = trajectory_compare(tpu_C[ti], tpu_R[ti], orc_C[oi], orc_R)
+        out["synth12"]["tpu_vs_oracle_ate_pct"] = round(
+            cmp_o["ate_rmse"] / extent * 100.0, 4
+        )
+        out["synth12"]["tpu_vs_oracle_maxrot_deg"] = round(
+            cmp_o["max_rel_rot_deg"], 3
+        )
+        cmp_og = trajectory_compare(
+            orc_C[oi], orc_R, gt_C[common], gt_R[common]
+        )
+        out["synth12"]["oracle_vs_gt_ate_pct"] = round(
+            cmp_og["ate_rmse"] / extent * 100.0, 4
+        )
+    print("synth12", out["synth12"], flush=True)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+    with open("/tmp/headtohead.json", "w") as f:
+        json.dump(out, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

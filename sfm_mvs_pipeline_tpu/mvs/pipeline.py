@@ -153,6 +153,33 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
     valids = np.zeros((len(rec), h, w), bool)
     poses = scene.poses[rec].astype(np.float32)
 
+    # Rect-engine degeneracy precheck (ADVICE r3): views whose EVERY
+    # neighbor fails the rectification-geometry gate (near-forward motion)
+    # would produce empty depth maps; route those views through the
+    # warp-based plane sweep instead, and log partially-masked views.
+    rect_fallback: set[int] = set()
+    if cfg.method == "rect":
+        from sfm_mvs_pipeline_tpu.mvs.rectified import rect_geometry_ok
+
+        for i, s in enumerate(rec):
+            nbrs_i = [idx_of[n] for n in neighbors.get(s, []) if n in idx_of]
+            if not nbrs_i:
+                continue
+            geom_ok = rect_geometry_ok(poses[i], poses[nbrs_i])
+            n_bad = int((~geom_ok).sum())
+            if not geom_ok.any():
+                rect_fallback.add(i)
+                log(
+                    f"view {s}: all {len(nbrs_i)} neighbors fail the "
+                    "rectification geometry gate (near-forward baseline) — "
+                    "falling back to plane sweep for this view"
+                )
+            elif n_bad:
+                log(
+                    f"view {s}: {n_bad}/{len(nbrs_i)} neighbors masked by "
+                    "the rectification geometry gate"
+                )
+
     import jax
 
     if len(jax.devices()) > 1:
@@ -187,7 +214,13 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
                 np.save(
                     os.path.join(out_dir, f"depth_{s:04d}.npy"), depth_maps[i]
                 )
-        rec_loop = []
+        # geometry-degenerate views are re-done with the sweep on host
+        rec_loop = [(i, rec[i]) for i in sorted(rect_fallback)]
+        if rec_loop:
+            # sharded results arrive as read-only device views; the host
+            # fallback loop below writes per-view rows
+            depth_maps = np.array(depth_maps)
+            valids = np.array(valids)
     else:
         rec_loop = list(enumerate(rec))
 
@@ -248,7 +281,7 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
                     os.path.join(out_dir, f"depth_{s:04d}.npy"), depth_maps[i]
                 )
             continue
-        if cfg.method == "rect":
+        if cfg.method == "rect" and i not in rect_fallback:
             # --sgm composes with the rectified engine: 4-path aggregation
             # on the per-pair rectified disparity volume (its native
             # geometry), not on the gather-based sweep volume

@@ -226,6 +226,38 @@ def rectified_pair_depth(
     return z_ref, cost_ref, valid
 
 
+def rect_geometry_ok(
+    pose_r,  # (6,) numpy angle-axis|t
+    poses_n,  # (N, 6) numpy
+    min_sin: float = 0.3,
+):
+    """Host-side replica of rectified_pair_depth's degeneracy gate: True for
+    neighbors whose baseline is usable for rectification (non-zero and at
+    least ~17 deg off the ref optical axis). ADVICE r3: forward-motion
+    sequences can fail this gate for EVERY neighbor, so the pipeline must
+    know ahead of time to fall back to the warp-based sweep instead of
+    silently emitting empty depth maps."""
+    import numpy as _np
+
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat as _aa
+
+    pose_r = _np.asarray(pose_r, _np.float64)
+    poses_n = _np.atleast_2d(_np.asarray(poses_n, _np.float64))
+    R_r = _np.asarray(_aa(jnp.asarray(pose_r[:3])), _np.float64)
+    C_r = -R_r.T @ pose_r[3:]
+    ok = _np.zeros(len(poses_n), bool)
+    for i, pn in enumerate(poses_n):
+        R_n = _np.asarray(_aa(jnp.asarray(pn[:3])), _np.float64)
+        C_n = -R_n.T @ pn[3:]
+        base = C_n - C_r
+        b = _np.linalg.norm(base)
+        if b <= 1e-9:
+            continue
+        sin_ang = _np.linalg.norm(_np.cross(R_r[2], base / b))
+        ok[i] = sin_ang > min_sin
+    return ok
+
+
 def consensus_fuse(
     depths: jax.Array,  # (N, H, W) per-neighbor ref-frame depths
     costs: jax.Array,  # (N, H, W)

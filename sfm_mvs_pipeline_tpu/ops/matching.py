@@ -160,6 +160,7 @@ def match_pair(
     backend: Literal["jnp", "pallas", "auto"] = "auto",
     method: Literal["bf", "flann"] = "bf",
     with_distance: bool = False,
+    exact: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Match one descriptor set against another.
 
@@ -171,6 +172,10 @@ def match_pair(
     with_distance=True appends the best L2 distance (Fq,) — the analogue of
     cv::DMatch::distance, used by the track-fusion merge gate
     (`-Ppointcloud-feature-merge-distance`; ref Scene.cpp:532).
+
+    exact=True selects the kernel's 3-term-split operands on TPU (~3e-6
+    relative dot error instead of the default bf16 ~1.3e-3, at 3x the MXU
+    cost — see ops/pallas/match_kernel.py).
     """
     if method == "flann":
         best_idx, best_sq, second_sq = two_nn_approx(
@@ -183,7 +188,7 @@ def match_pair(
             from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import two_nn_pallas
 
             best_idx, best_sq, second_sq = two_nn_pallas(
-                desc_q, desc_t, valid_q, valid_t
+                desc_q, desc_t, valid_q, valid_t, exact=exact
             )
         else:
             best_idx, best_sq, second_sq = two_nn_jnp(
@@ -200,7 +205,8 @@ def match_pair(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ratio", "distinct", "backend", "chunk", "method", "with_distance"
+        "ratio", "distinct", "backend", "chunk", "method", "with_distance",
+        "exact",
     ),
 )
 def match_pairs_batch(
@@ -213,6 +219,7 @@ def match_pairs_batch(
     chunk: int = 8,
     method: Literal["bf", "flann"] = "bf",
     with_distance: bool = False,
+    exact: bool = False,
 ) -> tuple[jax.Array, ...]:
     """Match every (left, right) pair in `pairs`.
 
@@ -232,7 +239,7 @@ def match_pairs_batch(
         vt = valid[pair[1]]
         return match_pair(
             dq, dt, vq, vt, ratio=ratio, distinct=distinct, backend=backend,
-            method=method, with_distance=with_distance,
+            method=method, with_distance=with_distance, exact=exact,
         )
 
     return jax.lax.map(one, pairs, batch_size=chunk)

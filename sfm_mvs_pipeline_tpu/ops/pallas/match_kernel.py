@@ -8,36 +8,51 @@ SURVEY.md §3.2) mapped onto the MXU:
 
 The dot product tile rides the 128x128 systolic array. The top-2 selection
 is **lane-blocked**: the kernel keeps a per-(query-row, lane) running top-2
-(best, second, best-index) and merges each target tile with purely
-elementwise VPU ops — no cross-lane reductions in the hot loop. (Cross-lane
-min/argmin per grid step was the previous bottleneck: each one costs a
-multi-step lane shuffle; with 4 of them per tile the kernel ran ~7x slower
-than this formulation.) The single cross-lane reduce that collapses the 128
-per-lane candidates to the global top-2 happens once at the end, in XLA, on
-an (F, 128) array.
+(best, second, best-index) in VMEM scratch and merges each target tile with
+purely elementwise VPU ops — no cross-lane reductions in the hot loop; the
+single cross-lane collapse to the global top-2 happens once at the end in
+XLA on an (F, 128) array.
 
 |q|^2 is a per-row constant that cannot change any within-row ordering, so
 the kernel ranks by the shifted score |t|^2 - 2 q.t and the caller adds
-|q|^2 back onto the returned distances. |t|^2 is precomputed on the host
-side of the call with the invalid-target mask folded in (BIG), so the
-kernel never touches a mask tile.
+|q|^2 back onto the returned distances. |t|^2 is precomputed outside the
+kernel with the invalid-target mask folded in (BIG), and the -2 is
+pre-folded into the query operand (exact: a power of two).
 
-One kernel serves SIFT-L2 (f32/bf16, D=128) and ORB-Hamming (+-1 expansion,
-D=256; see ops/matching.py).
+Operand precision (r4, fixing the r3 ADVICE finding that the former
+[q_hi|q_lo].[t_hi|t_lo] width-2D split dropped the dominant cross terms and
+delivered plain-bf16 accuracy at 2x MXU cost):
+  * fast (default): ONE bf16 pass at width D. Relative dot error ~1.3e-3
+    (measured max vs f64, random SIFT-scale data) — distance ranking noise
+    far below the Lowe-ratio margin; post-ratio matches are identical to
+    the f32 oracle on real SIFT data (tests/test_matching.py TPU check,
+    bench_suite/match_accuracy.py). Measured 0.10 ms for 8192x8192x128 —
+    ~92% of the chip's measured 183 TF/s matmul rate on the kernel's
+    useful work (2*F^2*D flops).
+  * exact: a THREE-term split [q_hi|q_lo|q_hi].[t_hi|t_hi|t_lo] whose one
+    width-3D bf16 pass computes qhi.thi + qlo.thi + qhi.tlo — max relative
+    error ~3.2e-6 (measured vs f64; the dropped qlo.tlo term is O(2^-18)).
+    3x the MXU work of fast; measured 0.30 ms (~95% of the 3D-width MXU
+    floor): use when bit-level distance fidelity matters more than speed.
+  * ORB/Hamming (+-1 bf16 expansion, D=256): products are +-1 and the f32
+    accumulator is exact — single pass, no split, exact Hamming.
+Off-TPU (the CPU interpret path of the unit tests) operands stay f32 with
+precision=HIGHEST, so oracle tests are deterministic.
 
-Grid: (F/TILE_Q, F/TILE_T), target-tile axis innermost. Outputs use a
-j-independent index map so the accumulator blocks stay resident in VMEM
-across the whole target sweep (the canonical matmul-accumulate pattern);
-they are initialized at j == 0.
+Grid: (F/TILE_Q, F/TILE_T), target-tile axis innermost. Accumulators live
+in VMEM scratch across the target sweep; outputs are written once at the
+last target step. (An alternative 1D-grid form holding all of t in VMEM
+compiles >10x slower remotely and gained nothing — the 2D grid with
+scratch is within noise of the merge-only floor, 0.08 ms measured.)
 
 Tie-breaking: within a lane, earlier targets win (strict <); across lanes
 the final argmin picks the lowest lane, which is not necessarily the lowest
 global index. Exact f32 distance ties ARE common on the ORB/Hamming path
-(the +-1 expansion yields integer-valued distances), so on a tie best_idx
-may differ from two_nn_jnp/OpenCV (lowest-lane vs lowest-index winner).
-The contract guarantee is therefore "identical post-ratio-test results",
-not identical best_idx on exact ties: a tied best/second gives ratio 1.0
-and is rejected by the Lowe test on every backend.
+(integer-valued distances), so on a tie best_idx may differ from
+two_nn_jnp/OpenCV (lowest-lane vs lowest-index winner). The contract
+guarantee is therefore "identical post-ratio-test results", not identical
+best_idx on exact ties: a tied best/second gives ratio 1.0 and is rejected
+by the Lowe test on every backend.
 """
 
 from __future__ import annotations
@@ -51,12 +66,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.0e38
 
-# tile sizes: larger query tiles amortize the per-grid-step accumulator
-# traffic; measured on the v5e chip for the 8192x8192x128 bf16-split shape:
-# (1024, 1024) -> 916 pairs/s, (2048, 1024) -> 976 pairs/s,
-# (1024, 2048) and (512, 2048) regress. VMEM at (2048, 1024): ~2.5 MB
-# operand double-buffers + 3 MB accumulators + the 8 MB f32 score tile —
-# inside the 16 MB budget; (2048, 2048) would blow it.
+# tile sizes: (2048, 1024) measured best on the v5e chip with difference
+# timing (TILE_T=2048 regresses 0.10 -> 0.15 ms; see
+# bench_suite/match_variants5.py). VMEM at (2048, 1024), bf16 width D=128:
+# 0.5 MB q + 0.25 MB t operand double-buffers + 8 MB f32 score tile +
+# 3 MB scratch accumulators — well inside the 16 MB budget.
 TILE_Q = 2048
 TILE_T = 1024
 LANES = 128
@@ -64,22 +78,15 @@ _SUB = TILE_T // LANES
 
 
 def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref,
-                   *, precision):
+                   b_s, s_s, i_s, *, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        best_ref[...] = jnp.full((TILE_Q, LANES), _BIG, dtype=jnp.float32)
-        second_ref[...] = jnp.full((TILE_Q, LANES), _BIG, dtype=jnp.float32)
-        idx_ref[...] = jnp.zeros((TILE_Q, LANES), dtype=jnp.int32)
+        b_s[...] = jnp.full((TILE_Q, LANES), _BIG, dtype=jnp.float32)
+        s_s[...] = jnp.full((TILE_Q, LANES), _BIG, dtype=jnp.float32)
+        i_s[...] = jnp.zeros((TILE_Q, LANES), dtype=jnp.int32)
 
-    # On TPU the operands arrive as bf16 (native +-1 Hamming expansion, or
-    # the hi|lo bf16 split of f32 built by two_nn_pallas) and the MXU
-    # accumulates bf16 products into f32 — single-pass bf16 is 3x the
-    # f32-HIGHEST (6-pass) throughput for the same D. (Pallas/Mosaic does
-    # not lower Precision.HIGH, hence the explicit bf16x2 split.) Off-TPU
-    # (the CPU interpret path of the unit tests) XLA accumulates bf16 dots
-    # IN bf16, so f32 operands stay f32 with precision=HIGHEST there.
     dot = jax.lax.dot_general(
         q_ref[:],
         t_ref[:],
@@ -93,9 +100,9 @@ def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref,
     s = tn_ref[0, :][None, :] + dot
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, LANES), 1)
-    best = best_ref[...]
-    second = second_ref[...]
-    bidx = idx_ref[...]
+    best = b_s[...]
+    second = s_s[...]
+    bidx = i_s[...]
     for sub in range(_SUB):
         cand = s[:, sub * LANES : (sub + 1) * LANES]
         cidx = lane + (j * TILE_T + sub * LANES)
@@ -103,9 +110,15 @@ def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref,
         second = jnp.minimum(second, hi)
         bidx = jnp.where(cand < best, cidx, bidx)
         best = jnp.minimum(best, cand)
-    best_ref[...] = best
-    second_ref[...] = second
-    idx_ref[...] = bidx
+    b_s[...] = best
+    s_s[...] = second
+    i_s[...] = bidx
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _flush():
+        best_ref[...] = b_s[...]
+        second_ref[...] = s_s[...]
+        idx_ref[...] = i_s[...]
 
 
 def _pad_to(x, n, axis, value=0):
@@ -117,17 +130,20 @@ def _pad_to(x, n, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
 def two_nn_pallas(
     desc_q: jax.Array,
     desc_t: jax.Array,
     valid_q: jax.Array,
     valid_t: jax.Array,
     interpret: bool = False,
+    exact: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """2-NN squared distances. Same contract as matching.two_nn_jnp.
 
     desc_*: (F, D) float32/bfloat16; valid_*: (F,) bool.
+    exact=True selects the 3-term-split operands (~3e-6 relative dot error,
+    3x MXU work) instead of the default single bf16 pass (~1.3e-3).
     Returns (best_idx (Fq,) int32, best_sq (Fq,) f32, second_sq (Fq,) f32).
     """
     fq, d = desc_q.shape
@@ -145,26 +161,26 @@ def two_nn_pallas(
     tn = jnp.sum(tf * tf, axis=1)  # (ft_p,)
     tn = jnp.where(_pad_to(valid_t, ft_p, 0), tn, _BIG)[None, :]
 
-    # MXU operand prep (the -2 of the distance expansion is folded into the
-    # query side here — exact, it is a power of two):
-    #  * bf16 inputs (the ORB +-1 Hamming expansion): EXACT in one bf16
-    #    pass (products are +-2, accumulation is f32).
-    #  * f32 inputs (SIFT): split into hi|lo bf16 halves concatenated
-    #    along D, so ONE bf16 dot of width 2D computes
-    #    qhi.thi + qhi.tlo + qlo.thi + qlo.tlo — bf16x4 accuracy
-    #    (~1e-7 relative) at 3x the throughput of the 6-pass f32 HIGHEST.
+    # MXU operand prep (see module docstring): the -2 of the distance
+    # expansion is folded into the query side here (exact: power of two).
     precision = jax.lax.Precision.DEFAULT
     if q.dtype == jnp.bfloat16:
+        # ORB +-1 Hamming expansion: EXACT in one bf16 pass (products are
+        # +-2 after the fold, accumulation is f32)
         q = (q.astype(jnp.float32) * -2.0).astype(jnp.bfloat16)
     elif jax.default_backend() == "tpu":
         q2 = qf * -2.0
-        q_hi = q2.astype(jnp.bfloat16)
-        q_lo = (q2 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        t_hi = tf.astype(jnp.bfloat16)
-        t_lo = (tf - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        q = jnp.concatenate([q_hi, q_lo], axis=1)
-        t = jnp.concatenate([t_hi, t_lo], axis=1)
-        d_p = 2 * d_p
+        if exact:
+            q_hi = q2.astype(jnp.bfloat16)
+            q_lo = (q2 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            t_hi = tf.astype(jnp.bfloat16)
+            t_lo = (tf - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            q = jnp.concatenate([q_hi, q_lo, q_hi], axis=1)
+            t = jnp.concatenate([t_hi, t_hi, t_lo], axis=1)
+            d_p = 3 * d_p
+        else:
+            q = q2.astype(jnp.bfloat16)
+            t = tf.astype(jnp.bfloat16)
     else:
         q = qf * -2.0
         t = tf
@@ -188,6 +204,11 @@ def two_nn_pallas(
             jax.ShapeDtypeStruct((fq_p, LANES), jnp.float32),
             jax.ShapeDtypeStruct((fq_p, LANES), jnp.float32),
             jax.ShapeDtypeStruct((fq_p, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
+            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
+            pltpu.VMEM((TILE_Q, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(q, t, tn)

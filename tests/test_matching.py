@@ -79,6 +79,50 @@ def test_pallas_interpret_matches_jnp(rng):
     np.testing.assert_allclose(np.asarray(s_p)[:290], np.asarray(s_j)[:290], rtol=1e-5)
 
 
+def test_split3_operand_accuracy(rng):
+    """The kernel's exact mode uses the 3-term bf16 split
+    [q_hi|q_lo|q_hi].[t_hi|t_hi|t_lo] = qhi.thi + qlo.thi + qhi.tlo.
+    Pin the FORMULA's accuracy in pure numpy emulation of the MXU
+    (bf16-rounded operands, f32 products/accumulation): ~1e-6 relative,
+    vs ~1e-3 for a plain bf16 pass — the r3 ADVICE finding was that the
+    old 2-term split only achieved the plain-bf16 level."""
+    import jax
+
+    def to_bf16(x):
+        return np.asarray(jnp.asarray(x, jnp.float32).astype(jnp.bfloat16), np.float32)
+
+    q = np.abs(rng.normal(size=(256, 128))).astype(np.float32) * 20.0
+    t = np.abs(rng.normal(size=(256, 128))).astype(np.float32) * 20.0
+    exact = q.astype(np.float64) @ t.astype(np.float64).T
+
+    q_hi = to_bf16(q)
+    q_lo = to_bf16(q - q_hi)
+    t_hi = to_bf16(t)
+    t_lo = to_bf16(t - t_hi)
+
+    plain = q_hi @ t_hi.T
+    split3 = q_hi @ t_hi.T + q_lo @ t_hi.T + q_hi @ t_lo.T
+
+    rel_plain = np.abs(plain - exact) / np.abs(exact)
+    rel_split3 = np.abs(split3 - exact) / np.abs(exact)
+    assert rel_plain.max() > 1e-4  # plain bf16 really is ~1e-3-class
+    assert rel_split3.max() < 1e-5, f"split3 max rel err {rel_split3.max()}"
+
+
+def test_pallas_exact_mode_interpret(rng):
+    """exact=True must preserve the contract on the off-TPU branch too."""
+    from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import two_nn_pallas
+
+    dq = jnp.asarray(_rand_desc(rng, 300))
+    dt = jnp.asarray(_rand_desc(rng, 280))
+    vq = jnp.ones(300, bool)
+    vt = jnp.ones(280, bool)
+    bi_j, b_j, s_j = M.two_nn_jnp(dq, dt, vq, vt)
+    bi_p, b_p, s_p = two_nn_pallas(dq, dt, vq, vt, interpret=True, exact=True)
+    np.testing.assert_array_equal(np.asarray(bi_p), np.asarray(bi_j))
+    np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_j), rtol=1e-5)
+
+
 def test_distinct_filter():
     best_idx = jnp.asarray([2, 2, 1, 3], dtype=jnp.int32)
     mask = jnp.asarray([True, True, True, False])

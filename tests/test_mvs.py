@@ -347,6 +347,93 @@ def test_rectified_degenerate_baseline_masked(plane_scene):
     assert not np.asarray(v).any()
 
 
+def test_rect_forward_motion_falls_back_to_sweep(tmp_path):
+    """ADVICE r3: for a pure forward-motion sequence EVERY neighbor fails
+    the rectification geometry gate, and the r3 pipeline silently produced
+    empty depth maps under the default method. run_mvs must now detect the
+    degenerate geometry up front and route those views through the
+    warp-based plane sweep."""
+    import cv2
+
+    from sfm_mvs_pipeline_tpu.models.scene import Scene
+    from sfm_mvs_pipeline_tpu.mvs.pipeline import MVSConfig, run_mvs
+    from sfm_mvs_pipeline_tpu.mvs.rectified import rect_geometry_ok
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[0, 0, 0], [0, 0, 0.5], [0, 0, 1.0]])  # forward motion
+    grays, gt = _render(rng, centers)
+    poses = np.zeros((3, 6), np.float32)
+    poses[:, 3:] = -centers
+
+    # the gate itself: all-False for forward motion, True for lateral
+    assert not rect_geometry_ok(poses[0], poses[1:]).any()
+    lateral = np.zeros((1, 6), np.float32)
+    lateral[0, 3] = 0.5
+    assert rect_geometry_ok(poses[0], lateral).all()
+
+    paths = []
+    for i, g in enumerate(grays):
+        p = str(tmp_path / f"{i}.png")
+        cv2.imwrite(p, (g * 255).astype(np.uint8))
+        paths.append(p)
+
+    intr = np.array([F, W / 2, H / 2, 0, 0, 0, 0], np.float64)
+    scene = Scene.create(
+        paths, (W, H),
+        np.zeros((3, 8, 2), np.float32), np.zeros((3, 8, 4), np.float32),
+        np.ones((3, 8), bool), intr,
+    )
+    scene.poses[:] = poses
+    scene.recovered[:] = True
+    # sparse points on the background plane observed by every view (feeds
+    # select_neighbors' shared-point scoring and depth_range)
+    n_pts = 40
+    X = np.stack(
+        [
+            rng.uniform(-3, 3, n_pts),
+            rng.uniform(-2, 2, n_pts),
+            rng.uniform(Z_FG - 1.0, Z_BG + 1.0, n_pts),  # spread in depth
+        ],
+        axis=1,
+    )
+    scene.points = X
+    scene.point_valid = np.ones(n_pts, bool)
+    scene.colors = np.zeros((n_pts, 4), np.uint8)
+    op, os_, of_, uv = [], [], [], []
+    for s in range(3):
+        Xc = X - centers[s]  # R = I
+        u = F * Xc[:, 0] / Xc[:, 2] + W / 2
+        v = F * Xc[:, 1] / Xc[:, 2] + H / 2
+        op.extend(range(n_pts))
+        os_.extend([s] * n_pts)
+        of_.extend([0] * n_pts)
+        uv.extend(np.stack([u, v], axis=1))
+    scene.obs_point = np.asarray(op, np.int32)
+    scene.obs_shot = np.asarray(os_, np.int32)
+    scene.obs_feat = np.asarray(of_, np.int32)
+    scene.obs_uv = np.asarray(uv, np.float32)
+    scene.obs_w = np.ones(len(op), np.float32)
+
+    logs = []
+    out = run_mvs(
+        scene, str(tmp_path),
+        MVSConfig(method="rect", n_planes=48, min_fusion_views=2),
+        log=lambda *a: logs.append(" ".join(str(x) for x in a)),
+    )
+    assert any("falling back to plane sweep" in m for m in logs)
+    valids = out["valids"]
+    assert valids.any(), "fallback must produce non-empty depth maps"
+    # and the depth is actually right where valid
+    dm = out["depth_maps"]
+    gt_cam = gt  # R = I: camera depth == rendered z
+    errs = []
+    for i in range(3):
+        if valids[i].any():
+            rel = np.abs(dm[i] - gt_cam[i]) / gt_cam[i]
+            errs.append(np.median(rel[valids[i]]))
+    assert errs and min(errs) < 0.05, f"median relative errors {errs}"
+
+
 def test_rectified_sgm(plane_scene):
     """--sgm through the rectified engine: 4-path aggregation on the
     per-pair disparity volume must hold (or improve) the two-plane scene."""

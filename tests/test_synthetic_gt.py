@@ -15,47 +15,11 @@ import numpy as np
 
 
 def _render_views(tmp, n_views=8, h=240, w=320, f=280.0):
-    import cv2
+    from sfm_mvs_pipeline_tpu.utils.synth import render_views
 
-    rng = np.random.default_rng(11)
-    tex = cv2.GaussianBlur(rng.random((1024, 1024)).astype(np.float32), (0, 0), 3.0)
-    tex = (tex - tex.min()) / (tex.max() - tex.min())
-    tex2 = cv2.GaussianBlur(rng.random((1024, 1024)).astype(np.float32), (0, 0), 2.0)
-    tex2 = (tex2 - tex2.min()) / (tex2.max() - tex2.min())
-    gt_R, gt_C = [], []
     data = tmp / "views"
-    data.mkdir()
-    for v in range(n_views):
-        ang = (v - n_views / 2) * 0.05
-        R = np.array(
-            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
-             [-np.sin(ang), 0, np.cos(ang)]]
-        )
-        C = np.array([0.5 * v, 0.03 * v, 0.0])
-        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        d = np.stack(
-            [(xs - w / 2) / f, (ys - h / 2) / f, np.ones_like(xs, np.float64)],
-            -1,
-        ) @ R  # world-frame rays of camera v (R is world->cam, rows = axes)
-        img = np.zeros((h, w), np.float32)
-        for z, t, scale in ((10.0, tex, 55.0), (7.0, tex2, 75.0)):
-            s = (z - C[2]) / d[..., 2]
-            Xw = C[None, None] + s[..., None] * d
-            u = ((Xw[..., 0] * scale) % 1024).astype(int) % 1024
-            vv = ((Xw[..., 1] * scale) % 1024).astype(int) % 1024
-            layer = t[vv, u]
-            if z == 7.0:
-                mask = ((Xw[..., 0] - 2.0) ** 2 + Xw[..., 1] ** 2) < 4.0
-                img = np.where(mask, layer, img)
-            else:
-                img = layer
-        cv2.imwrite(
-            str(data / f"{v:02d}.jpg"), (img * 255).astype(np.uint8),
-            [cv2.IMWRITE_JPEG_QUALITY, 95],
-        )
-        gt_R.append(R)
-        gt_C.append(C)
-    return data, np.asarray(gt_R), np.asarray(gt_C)
+    _paths, gt_R, gt_C = render_views(data, n_views, h, w, f)
+    return data, gt_R, gt_C
 
 
 def test_synthetic_trajectory_vs_ground_truth(tmp_path):
