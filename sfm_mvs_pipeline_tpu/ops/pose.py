@@ -26,12 +26,20 @@ def aa_to_rotmat(rvec: jax.Array) -> jax.Array:
     """
     rvec = jnp.asarray(rvec)
     theta2 = jnp.sum(rvec * rvec, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS)
     small = theta2 < 1e-8
+    # Evaluate the exact branch at a SAFE theta when small: jnp.where does
+    # not stop the unused branch from being computed, and (1-cos)/theta2 at
+    # theta2 == 0 is inf — fine in forward mode (masked) but NaN through
+    # reverse-mode AD (jacrev), which the BA build now uses. The Taylor
+    # branches keep the true theta2 so gradients near zero stay exact.
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(theta2_safe)
 
     # sin(t)/t and (1-cos(t))/t^2 with series fallbacks
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(
+        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe
+    )
 
     kx, ky, kz = rvec[..., 0], rvec[..., 1], rvec[..., 2]
     zero = jnp.zeros_like(kx)

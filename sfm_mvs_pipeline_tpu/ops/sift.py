@@ -50,23 +50,30 @@ def _gauss_kernel1d(sigma: float) -> np.ndarray:
 
 def gaussian_blur(img: jax.Array, sigma: float) -> jax.Array:
     """Separable Gaussian blur. img: (B, H, W). sigma is a python float
-    (static), so the kernel is a compile-time constant."""
+    (static), so the kernel is a compile-time constant.
+
+    Implemented as shift-and-accumulate over static slices of a padded
+    buffer rather than conv_general_dilated: XLA lays the conv's
+    singleton channel dim out MINORMOST and tiles it to 128 lanes, which
+    pads a (1, 1, 3600, 6400) f32 intermediate 128x (88 MB -> 11 GB) and
+    OOMs the 3200-px ladder (observed: 80 GB HBM request). The shift-add
+    form keeps W in lanes and fuses into one VPU pass per axis."""
     if sigma <= 0:
         return img
-    k = jnp.asarray(_gauss_kernel1d(sigma), dtype=img.dtype)
+    k = _gauss_kernel1d(sigma)
     r = (len(k) - 1) // 2
-    x = img[:, None]  # (B, 1, H, W)
-    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(1, 1, -1, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(1, 1, 1, -1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return x[:, 0]
+    h, w = img.shape[-2:]
+    p = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="edge")
+    out = None
+    for i, ki in enumerate(k):
+        term = p[:, i : i + h, :] * jnp.asarray(ki, img.dtype)
+        out = term if out is None else out + term
+    p = jnp.pad(out, ((0, 0), (0, 0), (r, r)), mode="edge")
+    out = None
+    for i, ki in enumerate(k):
+        term = p[:, :, i : i + w] * jnp.asarray(ki, img.dtype)
+        out = term if out is None else out + term
+    return out
 
 
 def _resize_half(img: jax.Array) -> jax.Array:

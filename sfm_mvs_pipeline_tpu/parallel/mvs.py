@@ -47,6 +47,7 @@ def compute_depth_maps_sharded(
     method: str = "sweep",
     pm_iterations: int = 8,
     pm_seed_rect: bool = True,
+    max_disp: int = 256,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (depth (V, H, W) f32, valid (V, H, W) bool).
 
@@ -96,7 +97,7 @@ def compute_depth_maps_sharded(
                     intr_, jnp.min(planes_v), jnp.max(planes_v),
                     n_levels=planes_v.shape[0],
                     window_radius=window_radius, max_cost=max_cost,
-                    nbr_valid=nv,
+                    max_disp=max_disp, nbr_valid=nv,
                     use_sgm=use_sgm, sgm_p1=sgm_p1, sgm_p2=sgm_p2,
                 )
                 any_nbr = jnp.any(nv)
@@ -114,7 +115,7 @@ def compute_depth_maps_sharded(
                         intr_, jnp.min(planes_v), jnp.max(planes_v),
                         n_levels=planes_v.shape[0],
                         window_radius=window_radius, max_cost=max_cost,
-                        nbr_valid=nv,
+                        max_disp=max_disp, nbr_valid=nv,
                     )
                     pm_iters = max(2, pm_iterations // 4)
                 depth, _cost, valid = patchmatch_depth(

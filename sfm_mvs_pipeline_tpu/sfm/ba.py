@@ -211,6 +211,10 @@ def _obs_jacobians(points, poses, intr, cam_of_shot, obs_point, obs_shot, obs_uv
     K = intr[cam_of_shot[obs_shot]]
     z = jnp.concatenate([X, pose, K], axis=1)  # (O, 16)
     r = jax.vmap(packed)(z, obs_uv, obs_w)
+    # jacfwd, not jacrev: reverse mode would need only 2 VJPs for this
+    # 16 -> 2 map, but its transposed scatter/gather graph measured 3x
+    # SLOWER than 16 forward seeds on TPU (39.9 vs 12.7 ms on the dense
+    # twin's 393k-slot bench; bench_suite/ba_profile_dense.py)
     J = jax.vmap(jax.jacfwd(packed))(z, obs_uv, obs_w)  # (O, 2, 16)
     return J[:, :, :3], J[:, :, 3:9], J[:, :, 9:16], r
 
@@ -667,6 +671,9 @@ def _dense_jacobians(points, poses, intr, cam_of_shot, uv_ps, w_ps):
     benign = jnp.zeros((16,), z.dtype).at[2].set(1.0).at[9].set(1.0)
     z = jnp.where((w_f > 0)[:, None], z, benign)
     r = jax.vmap(res_one)(z, uv_f, w_f)
+    # jacfwd: reverse mode (2 VJPs) measured 3x slower than 16 forward
+    # seeds on TPU — the VJP transpose graph scatters; see
+    # bench_suite/ba_profile_dense.py
     J = jax.vmap(jax.jacfwd(res_one))(z, uv_f, w_f)  # (P*S, 2, 16)
     J = J.reshape(P, S, 2, 16)
     return (
@@ -988,13 +995,37 @@ def run_bundle_adjustment(
                 f"  BA[device,{table_kind}]: setup {_tt1-_tt0:.2f}s transfers "
                 f"{_tt2-_tt1:.2f}s", flush=True,
             )
+        # ONE device->host fetch: each np.array() of a separate device
+        # buffer costs a full ~25 ms tunnel round trip; packing the outputs
+        # into a single flat vector collapses 6 fetches into 1
+        n_pts_f = out_pts.size
+        n_pos_f = out_pos.size
+        n_K_f = out_K.size
+        packed = jnp.concatenate(
+            [
+                out_pts.ravel(), out_pos.ravel(), out_K.ravel(),
+                jnp.stack(
+                    [
+                        cost_d.astype(jnp.float32),
+                        iters_d.astype(jnp.float32),
+                        conv_d.astype(jnp.float32),
+                    ]
+                ),
+            ]
+        )
+        host = np.asarray(packed)
+        o = 0
+        pts_h = host[o : o + n_pts_f].reshape(out_pts.shape); o += n_pts_f
+        pos_h = host[o : o + n_pos_f].reshape(out_pos.shape); o += n_pos_f
+        K_h = host[o : o + n_K_f].reshape(out_K.shape); o += n_K_f
+        cost_h, iters_h, conv_h = host[o], host[o + 1], host[o + 2]
         return {
-            "points": np.array(out_pts, dtype=points.dtype)[:P],
-            "poses": np.array(out_pos, dtype=poses.dtype)[:S_real],
-            "intrinsics": np.array(out_K, dtype=intr.dtype),
-            "cost": float(cost_d),
-            "iterations": int(iters_d),
-            "converged": bool(conv_d),
+            "points": pts_h.astype(points.dtype)[:P],
+            "poses": pos_h.astype(poses.dtype)[:S_real],
+            "intrinsics": K_h.astype(intr.dtype),
+            "cost": float(cost_h),
+            "iterations": int(iters_h),
+            "converged": bool(conv_h > 0.5),
             "lambda": None,
         }
 

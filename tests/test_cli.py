@@ -117,12 +117,16 @@ def test_reference_cli_defaults():
     assert cfg.min_homography_inlier_ratio == 0.4
     assert cfg.min_pose_inlier_ratio == 0.4
 
-    # limit 0 -> unlimited (2^18) -> capacity bounded only by image area / hw cap
+    # limit 0 -> unlimited (2^18) -> capacity bounded only by image area
     unlimited = 1 << 18
     assert _feature_cap(unlimited, 720, 405) > 256
     assert _feature_cap(unlimited, 720, 405) >= _feature_cap(10000, 720, 405)
-    # a small image bounds "unlimited" by its area, not the hw cap
+    # a small image bounds "unlimited" by its area, not a hw cap
     assert _feature_cap(unlimited, 240, 135) < _feature_cap(unlimited, 1920, 1080)
+    # the r3 8192 hardware cap is GONE (VERDICT r3 item 2): the run-big
+    # scripts' 30000 must fit at the 3200-px ladder
+    assert _feature_cap(30000, 3200, 1800) == 32768
+    assert _feature_cap(unlimited, 6000, 4000) == 1 << 18
 
     assert _dense_method(AppArgs(["-Pdense-method=patchmatch"])) == "patchmatch"
     assert _dense_method(AppArgs(["-Pdense-method=sweep"])) == "sweep"
