@@ -309,13 +309,32 @@ def _bench_ba():
         cost = float(np.asarray(out["cost"]))  # fetch bounds the solve
         best = min(best, time.perf_counter() - t0)
     iters = int(out["iterations"])
-    return {
+    res = {
         "ba_obs": int(len(prob["obs_point"])),
         "ba_solve_s": round(best, 3),
         "ba_iters": iters,
         "ba_iters_per_s": round(iters / best, 2),
         "ba_cost": round(cost, 4),
     }
+    # steady-state LM iteration rate: run the solver with ftol=0 so all 20
+    # iterations execute, separating per-iteration device cost from the
+    # solve's fixed host/tunnel overhead (table build + transfers + fetch)
+    cfg_all = BAConfig(max_iterations=20, function_tolerance=0.0)
+    out = run_bundle_adjustment(*args, config=cfg_all)
+    float(np.asarray(out["cost"]))
+    best20 = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run_bundle_adjustment(*args, config=cfg_all)
+        float(np.asarray(out["cost"]))
+        best20 = min(best20, time.perf_counter() - t0)
+    it20 = max(int(out["iterations"]), 1)
+    res["ba_iters_per_s_steady"] = round(
+        (it20 - iters) / max(best20 - best, 1e-6), 2
+    ) if it20 > iters else round(it20 / best20, 2)
+    res["ba_solve20_s"] = round(best20, 3)
+    res["ba_iters20"] = it20
+    return res
 
 
 def _bench_dense():

@@ -120,7 +120,7 @@ def main():
         pts, pos, K, cams, uv_d, w_d, lam, imask, pfree,
         n_shots=n_shots, n_cams=n_cams,
     )
-    S_red, rhs, Bp, gp, cost, Wc, Wi = out
+    S_red, rhs, Bp, gp, cost, U = out
     jax.block_until_ready(S_red)
 
     t = chain_time(lambda s: B.equilibrated_cholesky_solve(s, rhs).sum(), S_red)
@@ -172,24 +172,24 @@ def main():
         flush=True,
     )
 
-    def backsub_cost(w):
+    def backsub_cost(u):
         dcam = rhs * 1e-6
         dX, dpose, dintr = B.ba_backsub_dense(
-            dcam, Bp, gp, w, Wi, cams, n_shots=n_shots, n_cams=n_cams
+            dcam, Bp, gp, u, n_shots=n_shots, n_cams=n_cams
         )
         return dX.sum() + dpose.sum() + dintr.sum()
 
-    t = chain_time(backsub_cost, Wc)
+    t = chain_time(backsub_cost, U)
     print(f"backsub:     {t*1e3:8.2f} ms", flush=True)
 
     def full_iter(p):
-        S_red, rhs, Bp, gp, c, Wc, Wi = B.ba_build_dense(
+        S_red, rhs, Bp, gp, c, U = B.ba_build_dense(
             p, pos, K, cams, uv_d, w_d, lam, imask, pfree,
             n_shots=n_shots, n_cams=n_cams,
         )
         dcam = B.equilibrated_cholesky_solve(S_red, rhs)
         dX, dpose, dintr = B.ba_backsub_dense(
-            dcam, Bp, gp, Wc, Wi, cams, n_shots=n_shots, n_cams=n_cams
+            dcam, Bp, gp, U, n_shots=n_shots, n_cams=n_cams
         )
         _, nc = B.compute_residuals_dense(
             p + dX, pos + dpose, K + dintr, cams, uv_d, w_d
@@ -200,13 +200,13 @@ def main():
     print(f"full iter:   {t*1e3:8.2f} ms", flush=True)
 
     def full_iter_ns(p):
-        S_red, rhs, Bp, gp, c, Wc, Wi = B.ba_build_dense(
+        S_red, rhs, Bp, gp, c, U = B.ba_build_dense(
             p, pos, K, cams, uv_d, w_d, lam, imask, pfree,
             n_shots=n_shots, n_cams=n_cams,
         )
         dcam = ns_solve(S_red, rhs)
         dX, dpose, dintr = B.ba_backsub_dense(
-            dcam, Bp, gp, Wc, Wi, cams, n_shots=n_shots, n_cams=n_cams
+            dcam, Bp, gp, U, n_shots=n_shots, n_cams=n_cams
         )
         _, nc = B.compute_residuals_dense(
             p + dX, pos + dpose, K + dintr, cams, uv_d, w_d

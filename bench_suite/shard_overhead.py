@@ -18,6 +18,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _wall(fn, fetch, reps=3):
     """Best-of-reps wall seconds of fn() bounded by a host value fetch."""
@@ -43,7 +46,7 @@ def main() -> int:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-    from bench_suite.ba_bench import make_problem
+    from ba_bench import make_problem
     from sfm_mvs_pipeline_tpu.ops.matching import match_pairs_batch
     from sfm_mvs_pipeline_tpu.parallel.ba import run_bundle_adjustment_sharded
     from sfm_mvs_pipeline_tpu.parallel.matching import match_pairs_sharded
@@ -62,13 +65,15 @@ def main() -> int:
         [(a, b) for a in range(S) for b in range(a + 1, S)], jnp.int32
     )[:16]
 
+    # identical fetch pattern on both sides (full host transfer of both
+    # outputs) so the difference isolates the shard_map machinery
     t_plain = _wall(
         lambda: match_pairs_batch(descs, valid, pairs),
-        lambda o: float(jnp.sum(o[1])),
+        lambda o: float(np.asarray(o[0]).sum() + np.asarray(o[1]).sum()),
     )
     t_shard = _wall(
         lambda: match_pairs_sharded(mesh, descs, valid, pairs),
-        lambda o: float(np.asarray(o[1]).sum()),
+        lambda o: float(np.asarray(o[0]).sum() + np.asarray(o[1]).sum()),
     )
     out["match_16pairs"] = {
         "plain_s": round(t_plain, 4),

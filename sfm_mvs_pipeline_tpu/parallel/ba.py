@@ -144,6 +144,51 @@ def shard_scene_by_points(
     return shards
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_dense_lm(
+    mesh, ftol, lam0, lam_up, lam_down, min_lam, max_lam,
+    max_iterations, n_shots, n_cams,
+):
+    """Build (once per parameter set) the jitted fused distributed LM.
+
+    Rebuilding the shard_map + jit wrapper per call retraces and
+    round-trips the remote compile cache (~1 s per BA call measured on the
+    real chip, bench_suite/shard_overhead.py); the lru cache bounds that to
+    the first call."""
+    spec_shard = P(DATA_AXIS)
+    spec_rep = P()
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            spec_shard, spec_shard, spec_shard,
+            spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
+        ),
+        out_specs=(
+            spec_shard, spec_shard, spec_shard, spec_shard, spec_shard,
+            spec_shard,
+        ),
+    )
+    def lm_all(pts_l, uv_l, w_l, pos_, K_, cams_, imask_, pfree_):
+        out = ba_lm_dense_core(
+            pts_l[0], pos_, K_, cams_, uv_l[0], w_l[0], imask_, pfree_,
+            ftol, lam0, lam_up, lam_down, min_lam, max_lam,
+            n_shots=n_shots, n_cams=n_cams,
+            max_iterations=max_iterations, axis_name=DATA_AXIS,
+        )
+        pts_o, pos_o, K_o, cost_o, it_o, conv_o = out
+        # everything in the fused carry is axis-varying; return all leaves
+        # with a leading shard dim and let the host read replica 0
+        return (
+            pts_o[None], pos_o[None], K_o[None],
+            cost_o[None], it_o[None], conv_o[None],
+        )
+
+    return lm_all
+
+
 def _run_sharded_dense(
     mesh, sh, points, poses, intr, cam_of_shot, intr_mask, pose_free,
     cfg, n_dev, n_shots, n_cams,
@@ -167,38 +212,11 @@ def _run_sharded_dense(
     uv_s = dev(sh["uv_ps"])
     w_s = dev(sh["w_ps"])
 
-    spec_shard = P(DATA_AXIS)
-    spec_rep = P()
-
-    @functools.partial(jax.jit, static_argnames=())
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            spec_shard, spec_shard, spec_shard,
-            spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
-        ),
-        out_specs=(
-            spec_shard, spec_shard, spec_shard, spec_shard, spec_shard,
-            spec_shard,
-        ),
+    lm_all = _sharded_dense_lm(
+        mesh, cfg.function_tolerance, cfg.init_lambda, cfg.lambda_up,
+        cfg.lambda_down, cfg.min_lambda, cfg.max_lambda,
+        cfg.max_iterations, n_shots, n_cams,
     )
-    def lm_all(pts_l, uv_l, w_l, pos_, K_, cams_, imask_, pfree_):
-        out = ba_lm_dense_core(
-            pts_l[0], pos_, K_, cams_, uv_l[0], w_l[0], imask_, pfree_,
-            cfg.function_tolerance, cfg.init_lambda, cfg.lambda_up,
-            cfg.lambda_down, cfg.min_lambda, cfg.max_lambda,
-            n_shots=n_shots, n_cams=n_cams,
-            max_iterations=cfg.max_iterations, axis_name=DATA_AXIS,
-        )
-        pts_o, pos_o, K_o, cost_o, it_o, conv_o = out
-        # everything in the fused carry is axis-varying; return all leaves
-        # with a leading shard dim and let the host read replica 0
-        return (
-            pts_o[None], pos_o[None], K_o[None],
-            cost_o[None], it_o[None], conv_o[None],
-        )
-
     pts_o, pos_o, K_o, cost_o, it_o, conv_o = lm_all(
         pts_s, uv_s, w_s, pos, K, cams, imask, pfree
     )

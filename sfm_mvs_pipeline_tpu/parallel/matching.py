@@ -26,6 +26,42 @@ from sfm_mvs_pipeline_tpu.ops.matching import match_pair
 from sfm_mvs_pipeline_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_matcher(
+    mesh, ratio, distinct, backend, chunk, method, with_distance
+):
+    """Build (once per parameter set) the jitted sharded matcher.
+
+    Rebuilding the shard_map + jit wrapper per call retraces the whole
+    program and round-trips the remote compile cache — measured ~1.5 s of
+    overhead PER CALL on the real chip (bench_suite/shard_overhead.py);
+    the lru cache makes repeat calls pay only dispatch."""
+    out_specs = tuple([P(DATA_AXIS)] * (3 if with_distance else 2))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=out_specs,
+        # pallas_call's out_shape carries no varying-mesh-axes annotation,
+        # which the default check_vma=True rejects when the TPU kernel path
+        # runs inside shard_map (found driving the 1-device-mesh overhead
+        # bench on real hardware)
+        check_vma=False,
+    )
+    def go(descs, val, prs):
+        def one(pair):
+            return match_pair(
+                descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
+                ratio=ratio, distinct=distinct, backend=backend,
+                method=method, with_distance=with_distance,
+            )
+
+        return jax.lax.map(one, prs, batch_size=chunk)
+
+    return jax.jit(go)
+
+
 def match_pairs_sharded(
     mesh,
     descriptors: np.ndarray,  # (S, F, D)
@@ -44,25 +80,10 @@ def match_pairs_sharded(
     P_orig = len(pairs)
     pairs_p = pad_to_multiple(np.asarray(pairs, np.int32), n_dev)
 
-    out_specs = tuple([P(DATA_AXIS)] * (3 if with_distance else 2))
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=out_specs,
+    go = _sharded_matcher(
+        mesh, ratio, distinct, backend, chunk, method, with_distance
     )
-    def go(descs, val, prs):
-        def one(pair):
-            return match_pair(
-                descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
-                ratio=ratio, distinct=distinct, backend=backend,
-                method=method, with_distance=with_distance,
-            )
-
-        return jax.lax.map(one, prs, batch_size=chunk)
-
-    out = jax.jit(go)(
+    out = go(
         jnp.asarray(descriptors), jnp.asarray(valid), jnp.asarray(pairs_p)
     )
     return tuple(np.asarray(o)[:P_orig] for o in out)

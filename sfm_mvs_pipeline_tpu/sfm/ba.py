@@ -643,52 +643,91 @@ def project_points_flat(pose, k, pts):
 
 
 def _dense_jacobians(points, poses, intr, cam_of_shot, uv_ps, w_ps):
-    """Per-slot Jacobians on the (P, S) grid via one vmapped jacfwd over the
-    packed 16-vector — same autodiff structure as _obs_jacobians, but indexed
-    by position (no observation gathers)."""
-    P, S = w_ps.shape
+    """Per-slot Jacobians on the (P, S) grid, in P-MINOR layout.
 
-    def res_one(z, uv, w):
-        return (
-            reprojection_residuals(z[3:9], z[9:16], z[:3][None], uv[None])[0] * w
-        )
+    Returns Jp (2,3,S,P), Jc (2,6,S,P), Ji (2,7,S,P), r (2,S,P).
+
+    Two r4 redesigns, both driven by bench_suite/ba_build_bisect.py on the
+    393k-slot bench problem:
+
+    * SHORT-CHAIN autodiff: the r3 formulation ran one vmapped jacfwd over
+      a packed 16-vector (point|pose|intr) per slot, re-deriving the
+      Rodrigues rotation 393k times with 16-wide tangents (11.75 ms).
+      The rotation is per-shot: Xc = R_s X + t_s and dXc/daa = (dR/daa) X
+      are exact per-shot quantities (S jacfwds of aa_to_rotmat, trivial),
+      and the per-slot jacfwd differentiates only the camera-frame
+      projection over 10 inputs (Xc 3 | intr 7). Chain rule recovers
+        dres/dX = dres/dXc R_s,  dres/dt = dres/dXc,
+        dres/daa = dres/dXc dXc/daa.
+      (jacfwd, not jacrev: the VJP transpose graph measured 3x slower.)
+
+    * P-MINOR layout: slot-major tensors like (P,S,2,6) put their tiny
+      trailing dims into the TPU's (8,128) tiles — 2->8 sublanes, 6->128
+      lanes, a ~21x padding of every materialized Jacobian and of all
+      downstream einsum traffic (the camera-block reductions alone
+      measured +12 ms). With P minormost (lanes) and the 2/3/6/7 dims
+      leading, padding is <=2.7x and every contraction runs over the
+      lane axis — the MXU-native orientation. The vmap maps over the
+      LAST axis (in_axes/out_axes=-1) so all AD intermediates inherit
+      the layout.
+    """
+    P, S = w_ps.shape
+    from sfm_mvs_pipeline_tpu.models.cameras import (
+        distort_normalized,
+        normalized_to_pixels,
+    )
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat
 
     K_s = intr[cam_of_shot]  # (S, 7)
-    z = jnp.concatenate(
-        [
-            jnp.broadcast_to(points[:, None, :], (P, S, 3)),
-            jnp.broadcast_to(poses[None, :, :], (P, S, 6)),
-            jnp.broadcast_to(K_s[None, :, :], (P, S, 7)),
-        ],
-        axis=-1,
-    ).reshape(P * S, 16)
-    uv_f = uv_ps.reshape(P * S, 2)
-    w_f = w_ps.reshape(P * S)
+    R_s = jax.vmap(aa_to_rotmat)(poses[:, :3])  # (S, 3, 3)
+    dR = jax.vmap(jax.jacfwd(aa_to_rotmat))(poses[:, :3])  # (S, 3, 3, 3)
+    X_T = points.T  # (3, P)
+    Xc = jnp.einsum("sab,bp->asp", R_s, X_T) + poses[:, 3:].T[:, :, None]
+    dXc_daa = jnp.einsum("sabk,bp->aksp", dR, X_T)  # (3 cam-coord, 3 aa, S, P)
+
+    def res_cam(v, uv, w):
+        xc, k = v[:3], v[3:]
+        z = jnp.where(xc[2] == 0, 1e-12, xc[2])
+        xy = xc[:2] / z
+        xy_d = distort_normalized(k, xy)
+        return (normalized_to_pixels(k, xy_d) - uv) * w
+
+    v = jnp.concatenate(
+        [Xc, jnp.broadcast_to(K_s.T[:, :, None], (7, S, P))], axis=0
+    ).reshape(10, S * P)
+    uv_f = jnp.transpose(uv_ps, (2, 1, 0)).reshape(2, S * P)
+    w_f = w_ps.T.reshape(S * P)
     # Dead slots (w == 0) include PADDED zero-points whose projection has
     # z ~ 0: the Jacobian there overflows f32 to inf, and inf * 0-weight is
     # NaN. Evaluate dead slots at a benign constant input instead — their
     # (weighted) residual and Jacobian are exactly zero either way.
-    benign = jnp.zeros((16,), z.dtype).at[2].set(1.0).at[9].set(1.0)
-    z = jnp.where((w_f > 0)[:, None], z, benign)
-    r = jax.vmap(res_one)(z, uv_f, w_f)
-    # jacfwd: reverse mode (2 VJPs) measured 3x slower than 16 forward
-    # seeds on TPU — the VJP transpose graph scatters; see
-    # bench_suite/ba_profile_dense.py
-    J = jax.vmap(jax.jacfwd(res_one))(z, uv_f, w_f)  # (P*S, 2, 16)
-    J = J.reshape(P, S, 2, 16)
-    return (
-        J[..., :3], J[..., 3:9], J[..., 9:16], r.reshape(P, S, 2)
-    )
+    benign = jnp.zeros((10, 1), v.dtype).at[2, 0].set(1.0).at[3, 0].set(1.0)
+    v = jnp.where((w_f > 0)[None, :], v, benign)
+    r = jax.vmap(res_cam, in_axes=(-1, -1, -1), out_axes=-1)(v, uv_f, w_f)
+    Jv = jax.vmap(jax.jacfwd(res_cam), in_axes=(-1, -1, -1), out_axes=-1)(
+        v, uv_f, w_f
+    )  # (2, 10, S*P)
+    J_xc = Jv[:, :3].reshape(2, 3, S, P)
+    Ji = Jv[:, 3:].reshape(2, 7, S, P)
+    Jp = jnp.einsum("lbsp,sbc->lcsp", J_xc, R_s)
+    Jc_rot = jnp.einsum("lbsp,bksp->lksp", J_xc, dXc_daa)
+    Jc = jnp.concatenate([Jc_rot, J_xc], axis=1)  # (2, 6, S, P)
+    return Jp, Jc, Ji, r.reshape(2, S, P)
 
 
 def ba_build_dense(
     points, poses, intr, cam_of_shot, uv_ps, w_ps, lam, intr_mask, pose_free,
     n_shots: int, n_cams: int, axis_name: str | None = None,
 ):
-    """Gather-free Schur-reduced camera system on the dense (P, S) grid.
+    """Gather-free Schur-reduced camera system on the dense (P, S) grid,
+    entirely in P-MINOR layout (see _dense_jacobians): every materialized
+    tensor keeps the big P axis in TPU lanes and every reduction contracts
+    over it — the slot-major r3 build paid ~21x tile padding on each
+    (P,S,2,6)-shaped intermediate.
 
-    Same contract as ba_build_core (returns S_red, rhs, Bp, gp, cost, Wc, Wi
-    with Wc (P, S, 3, 6) / Wi (P, S, 3, 7) for dense back-substitution).
+    Returns (S_red, rhs, Bp (3,3,P), gp (3,P), cost, U (3,D,P)) — U is the
+    per-point camera row; back-substitution only needs U^T dcam, so the W
+    intermediates of the r3 build are gone entirely.
     Under shard_map the POINT axis is sharded; the camera system psum-reduces
     over `axis_name` exactly like the table-based core.
     """
@@ -700,18 +739,18 @@ def ba_build_dense(
         points, poses, intr, cam_of_shot, uv_ps, w_ps
     )
     # frozen-parameter masks
-    Ji = Ji * intr_mask[cam_of_shot][None, :, None, :]
-    Jc = Jc * pose_free[None, :, None, None]
+    Ji = Ji * intr_mask[cam_of_shot].T[None, :, :, None]
+    Jc = Jc * pose_free[None, None, :, None]
 
     cost = 0.5 * jnp.sum(r * r)
 
-    # ---- camera blocks: plain sums over the point axis (no one-hots)
-    Hcc_pose = jnp.einsum("psai,psaj->sij", Jc, Jc)  # (S, 6, 6)
-    Hcc_cross = jnp.einsum("psai,psaj->sij", Jc, Ji)  # (S, 6, 7)
-    gc = jnp.einsum("psai,psa->si", Jc, r)  # (S, 6)
+    # ---- camera blocks: contractions over (l, p) with p in lanes
+    Hcc_pose = jnp.einsum("lisp,ljsp->sij", Jc, Jc)  # (S, 6, 6)
+    Hcc_cross = jnp.einsum("lisp,ljsp->sij", Jc, Ji)  # (S, 6, 7)
+    gc = jnp.einsum("lisp,lsp->si", Jc, r)  # (S, 6)
     oh_cam = jax.nn.one_hot(cam_of_shot, n_cams, dtype=dt)  # (S, C)
-    Hcc_intr = jnp.einsum("psai,psaj,sc->cij", Ji, Ji, oh_cam)  # (C, 7, 7)
-    gi = jnp.einsum("psai,psa,sc->ci", Ji, r, oh_cam)  # (C, 7)
+    Hcc_intr = jnp.einsum("lisp,ljsp,sc->cij", Ji, Ji, oh_cam)  # (C, 7, 7)
+    gi = jnp.einsum("lisp,lsp,sc->ci", Ji, r, oh_cam)  # (C, 7)
 
     s_idx = jnp.arange(n_shots)
     pp = (
@@ -736,26 +775,26 @@ def ba_build_dense(
     Hcc = jnp.block([[pp, pi], [pi.T, ii]])
     g_full = jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
 
-    # ---- point blocks
-    Hpp = jnp.einsum("psai,psaj->pij", Jp, Jp)  # (P, 3, 3)
-    gp = jnp.einsum("psai,psa->pi", Jp, r)  # (P, 3)
-    damped = Hpp + lam * _diag_embed(
-        jnp.maximum(
-            jnp.stack([Hpp[:, 0, 0], Hpp[:, 1, 1], Hpp[:, 2, 2]], axis=-1),
-            1e-8,
-        )
+    # ---- point blocks (3, 3, P) / (3, P): elementwise over lanes
+    Hpp = jnp.einsum("lasp,lbsp->abp", Jp, Jp)  # (3, 3, P)
+    gp = jnp.einsum("lasp,lsp->ap", Jp, r)  # (3, P)
+    diag3 = jnp.maximum(
+        jnp.stack([Hpp[0, 0], Hpp[1, 1], Hpp[2, 2]]), 1e-8
+    )  # (3, P)
+    damped = Hpp + lam * jnp.einsum(
+        "ab,bp->abp", jnp.eye(3, dtype=dt), diag3
     )
-    Bp = _inv3x3(damped)
+    Bp = _inv3x3_pm(damped)  # (3, 3, P)
 
-    # ---- Schur correction: U is a transpose away, S_corr one MXU matmul
-    Wc = jnp.einsum("psai,psaj->psij", Jp, Jc)  # (P, S, 3, 6)
-    Wi = jnp.einsum("psai,psaj->psij", Jp, Ji)  # (P, S, 3, 7)
-    U_pose = jnp.transpose(Wc, (0, 2, 1, 3)).reshape(P, 3, n_shots * 6)
-    U_intr = jnp.einsum("psij,sc->picj", Wi, oh_cam).reshape(P, 3, n_cams * 7)
-    U = jnp.concatenate([U_pose, U_intr], axis=-1)  # (P, 3, D)
-    BU = jnp.einsum("pab,pbd->pad", Bp, U)
-    S_corr = jnp.einsum("pad,pae->de", U, BU)  # (D, 3P) @ (3P, D)
-    rhs_corr = jnp.einsum("pad,pa->d", U, jnp.einsum("pab,pb->pa", Bp, gp))
+    # ---- Schur correction: U (3, D, P) built directly in final layout
+    U_pose = jnp.einsum("lasp,lisp->asip", Jp, Jc).reshape(3, n_shots * 6, P)
+    U_intr = jnp.einsum("lasp,ljsp,sc->acjp", Jp, Ji, oh_cam).reshape(
+        3, n_cams * 7, P
+    )
+    U = jnp.concatenate([U_pose, U_intr], axis=1)  # (3, D, P)
+    BU = jnp.einsum("abp,bdp->adp", Bp, U)
+    S_corr = jnp.einsum("adp,aep->de", U, BU)  # (D, 3P) @ (3P, D)
+    rhs_corr = jnp.einsum("adp,ap->d", U, jnp.einsum("abp,bp->ap", Bp, gp))
 
     if axis_name is not None:
         Hcc = jax.lax.psum(Hcc, axis_name)
@@ -766,20 +805,39 @@ def ba_build_dense(
 
     diagH = jnp.diagonal(Hcc)
     Hcc = Hcc + jnp.diag(lam * jnp.maximum(diagH, 1e-8))
-    return Hcc - S_corr, -g_full + rhs_corr, Bp, gp, cost, Wc, Wi
+    return Hcc - S_corr, -g_full + rhs_corr, Bp, gp, cost, U
 
 
-def ba_backsub_dense(dcam, Bp, gp, Wc, Wi, cam_of_shot, n_shots: int, n_cams: int):
-    """Dense-grid back-substitution: dX_p = -Bp (gp + Hpc_p dcam)."""
+def _inv3x3_pm(M):
+    """Closed-form 3x3 inverse for P-minor (3, 3, P) stacks."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack(
+        [jnp.stack([A, B, C]), jnp.stack([D, E, F]), jnp.stack([G, H, I])]
+    )  # (3, 3, P)
+    return adj / det[None, None, :]
+
+
+def ba_backsub_dense(dcam, Bp, gp, U, n_shots: int, n_cams: int):
+    """Dense-grid back-substitution: dX_p = -Bp (gp + U_p dcam).
+    P-minor operands; returns dX as (P, 3) for the parameter update."""
     dpose = dcam[: 6 * n_shots].reshape(n_shots, 6)
     dintr = dcam[6 * n_shots:].reshape(n_cams, 7)
-    contrib = (
-        jnp.einsum("psij,sj->psi", Wc, dpose)
-        + jnp.einsum("psij,sj->psi", Wi, dintr[cam_of_shot])
-    )
-    hpc_dc = jnp.sum(contrib, axis=1)
-    dX = -jnp.einsum("pab,pb->pa", Bp, gp + hpc_dc)
-    return dX, dpose, dintr
+    hpc_dc = jnp.einsum("adp,d->ap", U, dcam)
+    dX = -jnp.einsum("abp,bp->ap", Bp, gp + hpc_dc)
+    return dX.T, dpose, dintr
 
 
 def ba_lm_dense_core(
@@ -799,14 +857,14 @@ def ba_lm_dense_core(
         return (st["it"] < max_iterations) & (~st["done"])
 
     def body(st):
-        S_red, rhs, Bp, gp, _, Wc, Wi = ba_build_dense(
+        S_red, rhs, Bp, gp, _, U = ba_build_dense(
             st["pts"], st["pos"], st["K"], cams, uv_ps, w_ps,
             st["lam"], imask, pfree,
             n_shots=n_shots, n_cams=n_cams, axis_name=axis_name,
         )
         dcam = equilibrated_cholesky_solve(S_red, rhs)
         dX, dpose, dintr = ba_backsub_dense(
-            dcam, Bp, gp, Wc, Wi, cams, n_shots=n_shots, n_cams=n_cams
+            dcam, Bp, gp, U, n_shots=n_shots, n_cams=n_cams
         )
         new_pts = st["pts"] + dX
         new_pos = st["pos"] + dpose * pfree[:, None]
