@@ -262,12 +262,17 @@ def _floors():
         return v
 
     t = _diff(vop, x, n1=8, n2=72)
-    vpu = 96 * x.size / t  # op/s
+    vpu = 96 * x.size / max(t, 1e-9)  # op/s
+    vpu = min(vpu, 20e12)  # clamp: one noisy difference must not report
+    # a rate beyond any plausible VPU peak
 
-    # HBM: read+write of a 256 MB buffer
+    # HBM: read+write of a 256 MB buffer (0.64 ms/iter at peak — use a
+    # long chain difference; clamp to the physical 819 GB/s so one noisy
+    # difference can't report an absurd rate)
     y = jnp.asarray(rng.normal(size=(64, 1024, 1024)).astype(np.float32))
-    t = _diff(lambda v: v + 1.0, y, n1=8, n2=72)
-    hbm = 2 * y.size * 4 / max(t, 1e-9)  # byte/s
+    t = _diff(lambda v: v + 1.0, y, n1=16, n2=144)
+    hbm = 2 * y.size * 4 / max(t, 1e-9)
+    hbm = min(hbm, 0.82e12)
     return mxu, vpu, hbm
 
 

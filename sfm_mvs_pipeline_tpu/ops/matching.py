@@ -229,8 +229,35 @@ def match_pairs_batch(
     (UnorderedFeatureMatchingStrategy.cpp:40).
 
     Implementation: lax.map over chunks of vmapped pair matches — keeps peak
-    memory at chunk * F^2 instead of P * F^2.
+    memory at chunk * F^2 instead of P * F^2. On the TPU fast path (bf +
+    pallas, not exact) the MXU operand prep (casts, -2 fold, squared norms)
+    is hoisted PER SHOT via prepare_descriptors — per-pair prep cost the
+    same ~0.09 ms as the 0.10 ms kernel itself.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    if backend == "pallas" and method == "bf" and not exact:
+        from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import (
+            prepare_descriptors,
+            two_nn_pallas_prepared,
+        )
+
+        q_ops, t_ops, qn, tn = prepare_descriptors(descriptors, valid)
+
+        def one_fast(pair):
+            vq = valid[pair[0]]
+            best_idx, best_sq, second_sq = two_nn_pallas_prepared(
+                q_ops[pair[0]], t_ops[pair[1]], qn[pair[0]], tn[pair[1]], vq
+            )
+            mask = ratio_test_mask(best_sq, second_sq, vq, ratio)
+            if distinct:
+                mask = distinct_filter(best_idx, mask)
+            if with_distance:
+                return best_idx, mask, jnp.sqrt(jnp.maximum(best_sq, 0.0))
+            return best_idx, mask
+
+        return jax.lax.map(one_fast, pairs, batch_size=chunk)
 
     def one(pair):
         dq = descriptors[pair[0]]

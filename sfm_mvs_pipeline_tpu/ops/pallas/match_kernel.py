@@ -80,6 +80,9 @@ _SUB = TILE_T // LANES
 def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref,
                    b_s, s_s, i_s, *, precision):
     j = pl.program_id(1)
+    # hoisted: program_id inside the pl.when body breaks the CPU interpret
+    # lowering (cond branch jaxprs don't inline it there)
+    qtile = pl.program_id(0)
 
     @pl.when(j == 0)
     def _init():
@@ -116,9 +119,24 @@ def _two_nn_kernel(q_ref, t_ref, tn_ref, best_ref, second_ref, idx_ref,
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _flush():
-        best_ref[...] = b_s[...]
-        second_ref[...] = s_s[...]
-        idx_ref[...] = i_s[...]
+        # collapse the 128 per-lane top-2 to the global top-2 IN-KERNEL
+        # (once per query tile): the r4.0 kernel emitted 3x (F, 128)
+        # blocks (12 MB written + re-read by an XLA collapse pass, ~25%
+        # of the measured time); the collapsed outputs are 3x (1, TILE_Q).
+        # The global best is some lane's best; the global second is either
+        # another lane's best or the winning lane's second.
+        bl = b_s[...]
+        sl = s_s[...]
+        il = i_s[...]
+        g_best = jnp.min(bl, axis=1)  # (TILE_Q,)
+        a = jnp.argmin(bl, axis=1)
+        sel = lane == a[:, None]
+        g_idx = jnp.sum(jnp.where(sel, il, 0), axis=1)
+        rest = jnp.where(sel, _BIG, bl)
+        g_second = jnp.minimum(jnp.min(sl, axis=1), jnp.min(rest, axis=1))
+        best_ref[qtile, :] = g_best
+        second_ref[qtile, :] = g_second
+        idx_ref[qtile, :] = g_idx
 
 
 def _pad_to(x, n, axis, value=0):
@@ -128,6 +146,93 @@ def _pad_to(x, n, axis, value=0):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths, constant_values=value)
+
+
+def prepare_descriptors(descriptors: jax.Array, valid: jax.Array):
+    """Per-shot MXU operand prep for the batched TPU match path.
+
+    The per-pair wrapper spends ~0.09 ms on casts/norms/the -2 fold —
+    comparable to the 0.10 ms kernel itself. When S shots feed P ~ S^2/2
+    pairs, doing it once per SHOT amortizes it to noise. Returns
+    (q_ops (S,F,D) bf16 query operands with -2 folded,
+     t_ops (S,F,D) bf16 target operands,
+     qn (S,F) f32 squared norms,
+     tn (S,F) f32 squared norms with invalid slots at BIG)."""
+    df = descriptors.astype(jnp.float32)
+    n = jnp.sum(df * df, axis=-1)  # (S, F)
+    q_ops = (df * -2.0).astype(jnp.bfloat16)
+    t_ops = df.astype(jnp.bfloat16)
+    tn = jnp.where(valid, n, _BIG)
+    return q_ops, t_ops, n, tn
+
+
+def two_nn_pallas_prepared(
+    q_op: jax.Array,  # (Fq, D) bf16, -2 pre-folded
+    t_op: jax.Array,  # (Ft, D) bf16
+    qn: jax.Array,  # (Fq,) f32
+    tn: jax.Array,  # (Ft,) f32, invalid slots = BIG
+    valid_q: jax.Array,  # (Fq,) bool
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """2-NN on pre-built operands (see prepare_descriptors). TPU fast
+    path; same contract as two_nn_pallas."""
+    fq, d = q_op.shape
+    ft = t_op.shape[0]
+    fq_p = pl.cdiv(fq, TILE_Q) * TILE_Q
+    ft_p = pl.cdiv(ft, TILE_T) * TILE_T
+    d_p = pl.cdiv(d, 128) * 128
+    q = _pad_to(_pad_to(q_op, fq_p, 0), d_p, 1)
+    t = _pad_to(_pad_to(t_op, ft_p, 0), d_p, 1)
+    tn_p = _pad_to(tn, ft_p, 0, value=_BIG)[None, :]
+
+    best, second, idx = _call_kernel(
+        q, t, tn_p, fq_p, ft_p, d_p, jax.lax.Precision.DEFAULT, interpret
+    )
+    l1, l2, gidx = _collapse(best, second, idx)
+    best_sq = jnp.where(valid_q, jnp.maximum(l1[:fq] + qn[:fq], 0.0), _BIG)
+    second_sq = jnp.maximum(l2[:fq] + qn[:fq], 0.0)
+    best_idx = jnp.clip(gidx[:fq], 0, ft - 1)
+    return best_idx, best_sq, second_sq
+
+
+def _call_kernel(q, t, tn, fq_p, ft_p, d_p, precision, interpret):
+    """Returns the COLLAPSED per-query (best, second, idx), each shaped
+    (n_qtiles, TILE_Q) — row i holds query tile i."""
+    grid = (fq_p // TILE_Q, ft_p // TILE_T)
+    n_q = fq_p // TILE_Q
+    return pl.pallas_call(
+        functools.partial(_two_nn_kernel, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_Q, d_p), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_T, d_p), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_T), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # whole-(n_q, TILE_Q) blocks (tiny) with dynamic row writes at
+            # the last j step — a (1, TILE_Q) block would violate the
+            # (8, 128)-divisible block rule
+            pl.BlockSpec((n_q, TILE_Q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, TILE_Q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, TILE_Q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_q, TILE_Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, TILE_Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, TILE_Q), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
+            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
+            pltpu.VMEM((TILE_Q, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, t, tn)
+
+
+def _collapse(best, second, idx):
+    """Flatten the kernel's per-tile rows to (Fq_p,) vectors."""
+    return best.reshape(-1), second.reshape(-1), idx.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "exact"))
@@ -186,43 +291,10 @@ def two_nn_pallas(
         t = tf
         precision = jax.lax.Precision.HIGHEST
 
-    grid = (fq_p // TILE_Q, ft_p // TILE_T)
-    best, second, idx = pl.pallas_call(
-        functools.partial(_two_nn_kernel, precision=precision),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_Q, d_p), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T, d_p), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_Q, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((fq_p, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((fq_p, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((fq_p, LANES), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
-            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
-            pltpu.VMEM((TILE_Q, LANES), jnp.int32),
-        ],
-        interpret=interpret,
-    )(q, t, tn)
-
-    # collapse the 128 per-lane top-2 candidates to the global top-2: the
-    # global best is some lane's best; the global second is either another
-    # lane's best or the winning lane's second.
-    a = jnp.argmin(best, axis=1)
-    l1 = jnp.take_along_axis(best, a[:, None], axis=1)[:, 0]
-    gidx = jnp.take_along_axis(idx, a[:, None], axis=1)[:, 0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, best.shape, 1)
-    rest = jnp.where(lane == a[:, None], _BIG, best)
-    l2 = jnp.minimum(jnp.min(second, axis=1), jnp.min(rest, axis=1))
-
+    best, second, idx = _call_kernel(
+        q, t, tn, fq_p, ft_p, d_p, precision, interpret
+    )
+    l1, l2, gidx = _collapse(best, second, idx)
     best_sq = jnp.where(valid_q, jnp.maximum(l1[:fq] + qn[:fq], 0.0), _BIG)
     second_sq = jnp.maximum(l2[:fq] + qn[:fq], 0.0)
     best_idx = jnp.clip(gidx[:fq], 0, ft - 1)

@@ -123,6 +123,38 @@ def test_pallas_exact_mode_interpret(rng):
     np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_j), rtol=1e-5)
 
 
+def test_prepared_path_matches_jnp(rng):
+    """The per-shot-prepared TPU fast path (prepare_descriptors +
+    two_nn_pallas_prepared) must agree with the jnp oracle. Integer-valued
+    descriptors <= 128 (the real cv2-SIFT value range) are exactly
+    representable in bf16, so the agreement is exact."""
+    from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import (
+        prepare_descriptors,
+        two_nn_pallas_prepared,
+    )
+
+    S, F, D = 3, 200, 128
+    descs = jnp.asarray(
+        rng.integers(0, 128, size=(S, F, D)).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.random((S, F)) > 0.1)
+    q_ops, t_ops, qn, tn = prepare_descriptors(descs, valid)
+    for a, b in ((0, 1), (2, 0)):
+        bi_j, b_j, s_j = M.two_nn_jnp(descs[a], descs[b], valid[a], valid[b])
+        bi_p, b_p, s_p = two_nn_pallas_prepared(
+            q_ops[a], t_ops[b], qn[a], tn[b], valid[a], interpret=True
+        )
+        m_j = np.asarray(M.ratio_test_mask(b_j, s_j, valid[a]))
+        m_p = np.asarray(M.ratio_test_mask(b_p, s_p, valid[a]))
+        np.testing.assert_array_equal(m_p, m_j)
+        np.testing.assert_array_equal(
+            np.asarray(bi_p)[m_j], np.asarray(bi_j)[m_j]
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_p)[m_j], np.asarray(b_j)[m_j], rtol=1e-6
+        )
+
+
 def test_distinct_filter():
     best_idx = jnp.asarray([2, 2, 1, 3], dtype=jnp.int32)
     mask = jnp.asarray([True, True, True, False])
