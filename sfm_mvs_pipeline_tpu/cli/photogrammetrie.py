@@ -290,17 +290,20 @@ def _feature_cap(limit: int, w: int, h: int) -> int:
     bounded by the image area and the reference's 2^18 flag maximum
     (PhotogrammetrieCli.cpp:430) — AREA-driven, not fault-driven.
 
-    A W*H image cannot produce more than ~W*H/8 DoG extrema, so an
-    "unlimited" limit on a small image does not inflate the padded
-    compute. (The r3 8192 hardware cap is gone: the worker fault it
-    guarded against was an XLA layout pathology in the conv-based
-    Gaussian blur — channel-minor layouts padded intermediates up to
-    128x — fixed by the shift-add blur in ops/sift.py; capacities up to
-    the reference maximum now run, validated at 32768 on 3-image insel
-    batches and a 3200-px synthetic, bench_suite/sift_capacity_probe.py.)
+    Area bound: real images detect well under W*H/32 surviving DoG extrema
+    even on dense texture (cv2.SIFT on insel at the reference's contrast
+    0.09: ~330 of 291k px = 0.1%; a pure-noise 3200x1800 synthetic — the
+    adversarial max — saturates 32768 = 0.6%), so an "unlimited" limit
+    does not inflate the padded compute. (The r3 8192 hardware cap is
+    gone: the worker fault it guarded against was an XLA layout pathology
+    in the conv-based Gaussian blur — channel-minor layouts padded
+    intermediates up to 128x — fixed by the shift-add blur in ops/sift.py;
+    capacities up to the reference maximum now run, validated at 32768 on
+    3-image insel batches and a 3200-px synthetic,
+    bench_suite/sift_capacity_probe.py.)
 
     Logs a warning whenever the user's requested limit is reduced."""
-    bound = min(limit, 1 << 18, max(w * h // 8, 256))
+    bound = min(limit, 1 << 18, max(w * h // 32, 256))
     cap = 256
     while cap < bound:
         cap *= 2

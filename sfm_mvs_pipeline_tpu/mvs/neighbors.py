@@ -24,14 +24,15 @@ def select_neighbors(
     [min_angle, max_angle] of median triangulation angle (the standard
     view-selection heuristic openMVS uses internally).
     """
-    import jax.numpy as jnp
-
-    from sfm_mvs_pipeline_tpu.ops.pose import camera_center
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
 
     rec = np.nonzero(scene.recovered)[0]
-    centers = {
-        int(s): np.asarray(camera_center(jnp.asarray(scene.poses[s]))) for s in rec
-    }
+    # host numpy: an eager device op per shot costs ~10-25 ms through the
+    # remote-TPU tunnel for microseconds of math
+    centers = {}
+    for s in rec:
+        R = aa_to_rotmat_np(scene.poses[s][:3])
+        centers[int(s)] = -R.T @ scene.poses[s][3:]
 
     # points seen per shot (live observations only)
     live = scene.obs_w > 0
@@ -74,19 +75,14 @@ def select_neighbors(
 def depth_range(scene, shot: int, pad: float = 0.25) -> tuple[float, float]:
     """Depth search range for a view from its sparse points (the standard
     seed openMVS takes from the sparse cloud)."""
-    import jax.numpy as jnp
-
-    from sfm_mvs_pipeline_tpu.ops.pose import transform_points
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
 
     live = (scene.obs_w > 0) & (scene.obs_shot == shot)
     pids = np.unique(scene.obs_point[live])
     if len(pids) == 0:
         return 0.1, 100.0
-    pc = np.asarray(
-        transform_points(
-            jnp.asarray(scene.poses[shot]), jnp.asarray(scene.points[pids])
-        )
-    )
+    R = aa_to_rotmat_np(scene.poses[shot][:3])
+    pc = scene.points[pids] @ R.T + scene.poses[shot][3:]
     z = pc[:, 2]
     z = z[z > 0]
     if len(z) == 0:

@@ -244,15 +244,15 @@ def derive_max_disp(
     beyond the image width can never correspond."""
     import numpy as _np
 
-    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat as _aa
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np as _aa
 
     pose_r = _np.asarray(pose_r, _np.float64)
     poses_n = _np.atleast_2d(_np.asarray(poses_n, _np.float64))
-    R_r = _np.asarray(_aa(jnp.asarray(pose_r[:3])), _np.float64)
+    R_r = _aa(pose_r[:3])
     C_r = -R_r.T @ pose_r[3:]
     b_max = 0.0
     for pn in poses_n:
-        R_n = _np.asarray(_aa(jnp.asarray(pn[:3])), _np.float64)
+        R_n = _aa(pn[:3])
         C_n = -R_n.T @ pn[3:]
         b_max = max(b_max, float(_np.linalg.norm(C_n - C_r)))
     need = 1.05 * float(focal) * b_max / max(float(z_min), 1e-9)
@@ -276,15 +276,15 @@ def rect_geometry_ok(
     silently emitting empty depth maps."""
     import numpy as _np
 
-    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat as _aa
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np as _aa
 
     pose_r = _np.asarray(pose_r, _np.float64)
     poses_n = _np.atleast_2d(_np.asarray(poses_n, _np.float64))
-    R_r = _np.asarray(_aa(jnp.asarray(pose_r[:3])), _np.float64)
+    R_r = _aa(pose_r[:3])
     C_r = -R_r.T @ pose_r[3:]
     ok = _np.zeros(len(poses_n), bool)
     for i, pn in enumerate(poses_n):
-        R_n = _np.asarray(_aa(jnp.asarray(pn[:3])), _np.float64)
+        R_n = _aa(pn[:3])
         C_n = -R_n.T @ pn[3:]
         base = C_n - C_r
         b = _np.linalg.norm(base)

@@ -55,6 +55,36 @@ def aa_to_rotmat(rvec: jax.Array) -> jax.Array:
     return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
 
 
+def aa_to_rotmat_np(rvec) -> "np.ndarray":
+    """Pure-numpy Rodrigues for HOST-side consumers (PLY writers, stats,
+    geometry prechecks): a device round trip through the remote-TPU tunnel
+    costs ~10-25 ms per eager op, so exporting a handful of cameras through
+    the jax path took seconds. Accepts (..., 3); returns (..., 3, 3)."""
+    import numpy as np
+
+    rvec = np.asarray(rvec, np.float64)
+    theta2 = np.sum(rvec * rvec, axis=-1)
+    small = theta2 < 1e-12
+    theta = np.sqrt(np.where(small, 1.0, theta2))
+    a = np.where(small, 1.0 - theta2 / 6.0, np.sin(theta) / theta)
+    b = np.where(
+        small, 0.5 - theta2 / 24.0,
+        (1.0 - np.cos(theta)) / np.where(small, 1.0, theta2),
+    )
+    kx, ky, kz = rvec[..., 0], rvec[..., 1], rvec[..., 2]
+    zero = np.zeros_like(kx)
+    K = np.stack(
+        [
+            np.stack([zero, -kz, ky], axis=-1),
+            np.stack([kz, zero, -kx], axis=-1),
+            np.stack([-ky, kx, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
 def rotmat_to_aa(R: jax.Array) -> jax.Array:
     """Rotation matrix (3, 3) -> angle-axis (3,). Inverse Rodrigues.
 

@@ -241,7 +241,7 @@ def write_camera_frustums_ply(
 
     Edges are emitted as degenerate triangles (a, b, b) so standard viewers
     render them; the reference writes explicit edge elements."""
-    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
 
     w, h = image_size
     f = float(intrinsics[0])
@@ -250,9 +250,7 @@ def write_camera_frustums_ply(
     hw = w / (2 * f) * depth
     hh = h / (2 * f) * depth
     for pose in poses:
-        import jax.numpy as jnp
-
-        R = np.asarray(aa_to_rotmat(jnp.asarray(pose[:3])))
+        R = aa_to_rotmat_np(pose[:3])
         t = pose[3:]
         C = -R.T @ t
         corners_cam = np.array(

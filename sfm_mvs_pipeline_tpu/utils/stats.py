@@ -69,19 +69,32 @@ def _write_histogram_csv(path: str, values: np.ndarray, resolution: float) -> No
 # ----------------------------------------------------- reprojection errors
 def reprojection_errors(scene) -> np.ndarray:
     """Per-live-observation reprojection error (px), the quantity the
-    reference aggregates over every origin of every point."""
-    import jax.numpy as jnp
+    reference aggregates over every origin of every point.
 
-    from sfm_mvs_pipeline_tpu.models.cameras import project_points
-
+    Pure numpy on purpose: the jax version paid a fresh REMOTE compile for
+    every distinct observation count (~20 s per CLI run through the axon
+    tunnel) to project a few hundred points — host float64 is both faster
+    and more precise here."""
     live = scene.obs_w > 0
-    X = scene.points[scene.obs_point[live]]
-    poses = scene.poses[scene.obs_shot[live]]
-    intr = scene.intrinsics[scene.cam_of_shot[scene.obs_shot[live]]]
-    uv, _ = project_points(
-        jnp.asarray(poses), jnp.asarray(intr), jnp.asarray(X)[:, None, :]
+    X = scene.points[scene.obs_point[live]].astype(np.float64)
+    poses = scene.poses[scene.obs_shot[live]].astype(np.float64)
+    intr = scene.intrinsics[scene.cam_of_shot[scene.obs_shot[live]]].astype(
+        np.float64
     )
-    uv = np.asarray(uv)[:, 0]
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
+
+    R = aa_to_rotmat_np(poses[:, :3])  # (O, 3, 3)
+    Xc = np.einsum("oab,ob->oa", R, X) + poses[:, 3:]
+    z = np.where(Xc[:, 2] == 0, 1e-12, Xc[:, 2])
+    xy = Xc[:, :2] / z[:, None]
+    x, y = xy[:, 0], xy[:, 1]
+    f, cx, cy = intr[:, 0], intr[:, 1], intr[:, 2]
+    k1, k2, p1, p2 = intr[:, 3], intr[:, 4], intr[:, 5], intr[:, 6]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + k2 * r2)
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    uv = np.stack([xd * f + cx, yd * f + cy], axis=1)
     return np.linalg.norm(uv - scene.obs_uv[live], axis=1)
 
 

@@ -62,3 +62,22 @@ def test_relative_pose(rng):
     np.testing.assert_allclose(
         np.asarray(P.transform_points(rel, xa)), np.asarray(xb), atol=1e-7
     )
+
+
+def test_aa_to_rotmat_np_matches_jax():
+    """The host-numpy Rodrigues (used by PLY writers, stats, and dense
+    geometry prechecks to avoid per-op tunnel round trips) must match the
+    device implementation, including at exactly zero rotation."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat, aa_to_rotmat_np
+
+    rng = np.random.default_rng(3)
+    rvecs = np.concatenate(
+        [rng.normal(size=(8, 3)), np.zeros((1, 3)), [[np.pi, 0, 0]]]
+    )
+    for r in rvecs:
+        Rj = np.asarray(aa_to_rotmat(jnp.asarray(r, jnp.float64)))
+        Rn = aa_to_rotmat_np(r)
+        np.testing.assert_allclose(Rn, Rj, atol=1e-6)
