@@ -30,6 +30,10 @@ def print_usage() -> None:
                                      max 262144; 0 = unlimited, like the
                                      reference's cv::SIFT::create(0, ...))
   -Pfeature-matcher=bf|flann         (default bf; flann = approximate path)
+  -Pmatch-precision=fast|exact       (default fast: single bf16 MXU pass,
+                                     bit-exact on cv2-convention SIFT
+                                     descriptors; exact: 3-term bf16 split
+                                     ~3e-6 relative at 3x MXU cost)
   -Pfeature-sequence=N               video window / grid neighborhood size
   -Pfeature-gridlength=N             grid row length (enables grid pairing)
   -Pmatch-threshold=N                min matches per pair (default 20)
@@ -229,6 +233,7 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
         matcher_method=(
             "flann" if args.get("feature-matcher", "bf").lower() == "flann" else "bf"
         ),
+        exact_match=_match_precision(args) == "exact",
         binary_descriptors=(detector == "orb"),
         ba=BAConfig(),
     )
@@ -313,6 +318,18 @@ def _feature_cap(limit: int, w: int, h: int) -> int:
             f"(image area {w}x{h} bounds detectable extrema)"
         )
     return cap
+
+
+def _match_precision(args: AppArgs) -> str:
+    """Validated -Pmatch-precision= (fast = single bf16 MXU pass, the
+    default — bit-exact on cv2-convention SIFT descriptors; exact = 3-term
+    bf16 split, ~3e-6 relative, 3x MXU cost)."""
+    mode = args.get("match-precision", "fast").lower()
+    if mode not in ("fast", "exact"):
+        raise ValueError(
+            f"unknown -Pmatch-precision={mode} (expected fast|exact)"
+        )
+    return mode
 
 
 def _dense_method(args: AppArgs) -> str:

@@ -54,6 +54,11 @@ class SfMConfig:
     distinct_matches: bool = False
     matcher_backend: str = "auto"
     matcher_method: str = "bf"  # "flann" = approximate shortlist matcher
+    # exact distance mode on TPU: 3-term bf16 split (~3e-6 relative dot
+    # error) instead of the default single bf16 pass (~1.3e-3 worst case;
+    # bit-exact on integer-valued cv2-convention SIFT descriptors). 3x the
+    # MXU cost (-Pmatch-precision=exact)
+    exact_match: bool = False
     # descriptors are a +-1 binary (ORB/Hamming) expansion: matched as
     # bfloat16, which is EXACT for +-1 values and runs the single-pass MXU
     # path (6x the f32-HIGHEST matmul throughput; ops/pallas/match_kernel.py)
@@ -166,6 +171,7 @@ def reconstruct(
             backend=cfg.matcher_backend,
             method=cfg.matcher_method,
             with_distance=True,
+            exact=cfg.exact_match,
         )
     midx = np.asarray(midx)
     mmask = np.asarray(mmask)

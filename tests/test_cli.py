@@ -151,3 +151,16 @@ def test_pcl_stats_cli_mesh_keeps_faces(tmp_path, rng):
     q = read_ply(str(tmp_path / "mesh.quality.ply"))
     assert q["faces"].shape == (30, 3)
     assert q["colors"].shape[1] >= 3
+
+
+def test_match_precision_flag():
+    """-Pmatch-precision validates its value and reaches SfMConfig."""
+    import pytest
+
+    from sfm_mvs_pipeline_tpu.cli.photogrammetrie import _match_precision
+    from sfm_mvs_pipeline_tpu.utils.args import AppArgs
+
+    assert _match_precision(AppArgs([])) == "fast"
+    assert _match_precision(AppArgs(["-Pmatch-precision=exact"])) == "exact"
+    with pytest.raises(ValueError):
+        _match_precision(AppArgs(["-Pmatch-precision=typo"]))
