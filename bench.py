@@ -334,9 +334,14 @@ def _bench_ba():
         float(np.asarray(out["cost"]))
         best20 = min(best20, time.perf_counter() - t0)
     it20 = max(int(out["iterations"]), 1)
-    res["ba_iters_per_s_steady"] = round(
-        (it20 - iters) / max(best20 - best, 1e-6), 2
-    ) if it20 > iters else round(it20 / best20, 2)
+    if it20 > iters and best20 > best + 1e-3:
+        res["ba_iters_per_s_steady"] = round((it20 - iters) / (best20 - best), 2)
+    elif it20 > iters:
+        # noise made the longer run no slower: the difference is not a
+        # valid measurement — flag it instead of reporting an absurd rate
+        res["ba_iters_per_s_steady"] = None
+    else:
+        res["ba_iters_per_s_steady"] = round(it20 / best20, 2)
     res["ba_solve20_s"] = round(best20, 3)
     res["ba_iters20"] = it20
     return res

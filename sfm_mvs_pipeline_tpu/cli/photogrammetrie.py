@@ -162,17 +162,21 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
     detector = args.get("feature-detector", "sift").lower()
     # limit 0 means "unlimited" like cv::SIFT::create(0, ...) retaining all
     # features (ref: PhotogrammetrieCli.cpp:345, max 2^18 per :430)
-    feature_limit = args.get_int("feature-limit", 10000)
+    requested_limit = args.get_int("feature-limit", 10000)
+    feature_limit = requested_limit
     if feature_limit <= 0:
         feature_limit = 1 << 18
     feature_limit = min(feature_limit, 1 << 18)
+    # warn only when an EXPLICIT finite user limit is reduced; for 0 =
+    # unlimited the area-driven capacity IS the meaning of "all features"
+    warn_req = requested_limit if requested_limit > 0 else None
     log.info(f"extracting {detector} features (limit {feature_limit})")
     if detector == "sift":
         from sfm_mvs_pipeline_tpu.ops.sift import sift_features
 
         feats = sift_features(
             jnp.asarray(imgs),
-            max_features=_feature_cap(feature_limit, w, h),
+            max_features=_feature_cap(feature_limit, w, h, warn_req),
             contrast_threshold=0.09,  # ref: cv::SIFT::create(..., 0.09)
         )
         descs = np.asarray(feats["descriptors"])
@@ -181,7 +185,7 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
         from sfm_mvs_pipeline_tpu.ops.matching import expand_binary_descriptors
 
         feats = orb_features(
-            jnp.asarray(imgs), max_features=_feature_cap(feature_limit, w, h)
+            jnp.asarray(imgs), max_features=_feature_cap(feature_limit, w, h, warn_req)
         )
         descs = np.asarray(expand_binary_descriptors(feats["descriptors"]))
     else:
@@ -290,7 +294,9 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
     return 0
 
 
-def _feature_cap(limit: int, w: int, h: int) -> int:
+def _feature_cap(
+    limit: int, w: int, h: int, warn_requested: int | None = None
+) -> int:
     """Static feature capacity: next power of two covering the limit,
     bounded by the image area and the reference's 2^18 flag maximum
     (PhotogrammetrieCli.cpp:430) — AREA-driven, not fault-driven.
@@ -312,9 +318,9 @@ def _feature_cap(limit: int, w: int, h: int) -> int:
     cap = 256
     while cap < bound:
         cap *= 2
-    if cap < limit:
+    if warn_requested is not None and cap < warn_requested:
         logging.AppLogger("Photogrammetrie").warn(
-            f"feature-limit {limit} reduced to capacity {cap} "
+            f"feature-limit {warn_requested} reduced to capacity {cap} "
             f"(image area {w}x{h} bounds detectable extrema)"
         )
     return cap

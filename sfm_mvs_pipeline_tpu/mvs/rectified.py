@@ -240,8 +240,10 @@ def derive_max_disp(
     at the reference's 3200-px ladder (VERDICT r3 item 4): the largest
     disparity any level can need is f * max-baseline / z_min. Returns that
     with 5% headroom, rounded up to a power of two (compile-bucket
-    stability across views), clipped to [floor, width] — a disparity
-    beyond the image width can never correspond."""
+    stability across views), clipped to [floor, width rounded up to the
+    128-lane multiple] — a disparity beyond the image width can never
+    correspond, and the <=127 px of cap slack only sizes the (cheap)
+    shift pad buffer."""
     import numpy as _np
 
     from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np as _aa
@@ -266,14 +268,20 @@ def derive_max_disp(
 def rect_geometry_ok(
     pose_r,  # (6,) numpy angle-axis|t
     poses_n,  # (N, 6) numpy
-    min_sin: float = 0.3,
+    min_sin: float = 0.31,
 ):
     """Host-side replica of rectified_pair_depth's degeneracy gate: True for
     neighbors whose baseline is usable for rectification (non-zero and at
-    least ~17 deg off the ref optical axis). ADVICE r3: forward-motion
+    least ~18 deg off the ref optical axis). ADVICE r3: forward-motion
     sequences can fail this gate for EVERY neighbor, so the pipeline must
     know ahead of time to fall back to the warp-based sweep instead of
-    silently emitting empty depth maps."""
+    silently emitting empty depth maps.
+
+    The default threshold is deliberately STRICTER (0.31) than the
+    in-engine f32 gate (0.3, rectified_pair_depth): host-pass must imply
+    device-pass, otherwise an f64-vs-f32 disagreement exactly at the
+    threshold could skip the fallback for a view the device then rejects
+    entirely. The margin errs toward the (always-correct) plane sweep."""
     import numpy as _np
 
     from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np as _aa

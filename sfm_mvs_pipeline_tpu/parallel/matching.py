@@ -28,7 +28,7 @@ from sfm_mvs_pipeline_tpu.parallel.mesh import DATA_AXIS, pad_to_multiple
 
 @functools.lru_cache(maxsize=32)
 def _sharded_matcher(
-    mesh, ratio, distinct, backend, chunk, method, with_distance
+    mesh, ratio, distinct, backend, chunk, method, with_distance, exact
 ):
     """Build (once per parameter set) the jitted sharded matcher.
 
@@ -36,6 +36,10 @@ def _sharded_matcher(
     program and round-trips the remote compile cache — measured ~1.5 s of
     overhead PER CALL on the real chip (bench_suite/shard_overhead.py);
     the lru cache makes repeat calls pay only dispatch."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    fast = backend == "pallas" and method == "bf" and not exact
+
     out_specs = tuple([P(DATA_AXIS)] * (3 if with_distance else 2))
 
     @functools.partial(
@@ -50,12 +54,41 @@ def _sharded_matcher(
         check_vma=False,
     )
     def go(descs, val, prs):
-        def one(pair):
-            return match_pair(
-                descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
-                ratio=ratio, distinct=distinct, backend=backend,
-                method=method, with_distance=with_distance,
+        if fast:
+            # per-SHOT operand prep, hoisted out of the pair loop exactly
+            # like the single-device match_pairs_batch fast path (the
+            # per-pair prep costs ~the kernel itself)
+            from sfm_mvs_pipeline_tpu.ops.matching import (
+                distinct_filter,
+                ratio_test_mask,
             )
+            from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import (
+                prepare_descriptors,
+                two_nn_pallas_prepared,
+            )
+
+            q_ops, t_ops, qn, tn = prepare_descriptors(descs, val)
+
+            def one(pair):
+                vq = val[pair[0]]
+                bi, bs, ss = two_nn_pallas_prepared(
+                    q_ops[pair[0]], t_ops[pair[1]], qn[pair[0]], tn[pair[1]],
+                    vq,
+                )
+                mask = ratio_test_mask(bs, ss, vq, ratio)
+                if distinct:
+                    mask = distinct_filter(bi, mask)
+                if with_distance:
+                    return bi, mask, jnp.sqrt(jnp.maximum(bs, 0.0))
+                return bi, mask
+
+        else:
+            def one(pair):
+                return match_pair(
+                    descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
+                    ratio=ratio, distinct=distinct, backend=backend,
+                    method=method, with_distance=with_distance, exact=exact,
+                )
 
         return jax.lax.map(one, prs, batch_size=chunk)
 
@@ -73,6 +106,7 @@ def match_pairs_sharded(
     chunk: int = 8,
     method: str = "bf",
     with_distance: bool = False,
+    exact: bool = False,
 ) -> tuple[np.ndarray, ...]:
     """Match pairs across the mesh. Returns (best_idx (P, F), mask (P, F))
     (+ best distance (P, F) when with_distance)."""
@@ -81,7 +115,7 @@ def match_pairs_sharded(
     pairs_p = pad_to_multiple(np.asarray(pairs, np.int32), n_dev)
 
     go = _sharded_matcher(
-        mesh, ratio, distinct, backend, chunk, method, with_distance
+        mesh, ratio, distinct, backend, chunk, method, with_distance, exact
     )
     out = go(
         jnp.asarray(descriptors), jnp.asarray(valid), jnp.asarray(pairs_p)

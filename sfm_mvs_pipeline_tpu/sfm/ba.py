@@ -1059,14 +1059,18 @@ def run_bundle_adjustment(
         n_pts_f = out_pts.size
         n_pos_f = out_pos.size
         n_K_f = out_K.size
+        # scalars packed in the WORKING dtype (not hard-coded f32: under
+        # x64 the cost would lose digits that downstream parity checks
+        # compare)
+        pdt = out_pts.dtype
         packed = jnp.concatenate(
             [
                 out_pts.ravel(), out_pos.ravel(), out_K.ravel(),
                 jnp.stack(
                     [
-                        cost_d.astype(jnp.float32),
-                        iters_d.astype(jnp.float32),
-                        conv_d.astype(jnp.float32),
+                        cost_d.astype(pdt),
+                        iters_d.astype(pdt),
+                        conv_d.astype(pdt),
                     ]
                 ),
             ]

@@ -160,6 +160,7 @@ def reconstruct(
             backend=cfg.matcher_backend,
             method=cfg.matcher_method,
             with_distance=True,
+            exact=cfg.exact_match,
         )
     else:
         midx, mmask, mdist = M.match_pairs_batch(
