@@ -40,7 +40,10 @@ def _sgm_step(prev: jax.Array, c: jax.Array, p1, p2) -> jax.Array:
 def _sgm_kernel(p_ref, cf_ref, cb_ref, of_ref, ob_ref, state_f, state_b):
     p1 = p_ref[0, 0]
     p2 = p_ref[0, 1]
-    s = pl.program_id(0)
+    # grid = (l_chunks, S): the sequential scan dim is INNERMOST so the
+    # VMEM scratch state persists across the whole sweep of one L-chunk
+    # and re-initializes at s == 0 of the next chunk
+    s = pl.program_id(1)
 
     cf = cf_ref[0]
     cb = cb_ref[0]
@@ -66,11 +69,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# cross-axis rows are independent recurrences, so the L axis is tiled:
+# holding a full (L, 128) row block per buffer overflowed the 16 MB VMEM
+# budget at the reference's 3200-px ladder (L=3200: ~19 MB scoped)
+_L_TILE = 512
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sgm_bidir_sld(cost_sld: jax.Array, p1, p2, interpret: bool = False):
     """Forward + backward SGM along axis 0 of (S, L, D); returns their sum."""
     s, l, d = cost_sld.shape
-    lp = _round_up(l, 8)
+    lt = min(_L_TILE, _round_up(l, 8))
+    lp = _round_up(l, lt)
     dp = _round_up(d, 128)
     cost = jnp.pad(
         cost_sld.astype(jnp.float32),
@@ -78,6 +88,7 @@ def _sgm_bidir_sld(cost_sld: jax.Array, p1, p2, interpret: bool = False):
         constant_values=_BIG,
     )
     params = jnp.array([[p1, p2]], jnp.float32)
+    n_l = lp // lt
 
     out_f, out_b = pl.pallas_call(
         _sgm_kernel,
@@ -85,23 +96,29 @@ def _sgm_bidir_sld(cost_sld: jax.Array, p1, p2, interpret: bool = False):
             jax.ShapeDtypeStruct((s, lp, dp), jnp.float32),
             jax.ShapeDtypeStruct((s, lp, dp), jnp.float32),
         ),
-        grid=(s,),
+        grid=(n_l, s),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, lp, dp), lambda i: (s - 1 - i, 0, 0), memory_space=pltpu.VMEM
+                (1, lt, dp), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, lt, dp), lambda j, i: (s - 1 - i, j, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, lp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, lp, dp), lambda i: (s - 1 - i, 0, 0), memory_space=pltpu.VMEM
+                (1, lt, dp), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, lt, dp), lambda j, i: (s - 1 - i, j, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((lp, dp), jnp.float32),
-            pltpu.VMEM((lp, dp), jnp.float32),
+            pltpu.VMEM((lt, dp), jnp.float32),
+            pltpu.VMEM((lt, dp), jnp.float32),
         ],
         interpret=interpret,
     )(params, cost, cost)
