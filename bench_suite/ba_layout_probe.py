@@ -1,10 +1,14 @@
 """Probe: do the BA build's einsums pay tiny-minor-dim padding on TPU?
 
-Hypothesis (from the SIFT OOM finding): tensors shaped (..., 2, 6) get
-their minor dims padded to (8, 128) tiles, multiplying HBM traffic ~21x.
-Times the camera-block einsum and the Schur-row outer product in both the
-shipped layout (slot-major, tiny minor dims) and a transposed layout
-(P minormost), difference-timed.
+*** RESULTS FROM THIS PROBE ARE INVALID — kept as a cautionary artifact.
+The chained-dependency harness perturbs the input by a scalar, and XLA's
+algebraic simplifier HOISTS scalar factors out of bilinear ops:
+einsum((1+c)j, (1+c)j) = (1+c)^2 einsum(j, j), so the einsum runs once
+outside the scan and the probe measures ~nothing (0.022 ms for reading
+112 MB would be 5 TB/s). Only NONLINEAR kernel bodies can be
+chain-probed; see the r4 note in the repo memory/BASELINE. The real BA
+stage costs come from bench_suite/ba_build_bisect.py, whose stages are
+nonlinear in the perturbed points. ***
 """
 
 from __future__ import annotations
