@@ -78,10 +78,17 @@ def _chain(f, x, n):
 
 
 def _bench_match(dq, dt_arr):
+    """Headline = the PRODUCTION batched path (match_pairs_batch: one fused
+    Pallas dispatch for the whole pair batch, per-shot operand prep
+    amortized) — r5, per VERDICT item 1. The single-pair wrapped call
+    (which pays un-amortized per-call prep) is reported alongside."""
     import jax
     import jax.numpy as jnp
 
-    from sfm_mvs_pipeline_tpu.ops.matching import ratio_test_mask
+    from sfm_mvs_pipeline_tpu.ops.matching import (
+        match_pairs_batch,
+        ratio_test_mask,
+    )
     from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import two_nn_pallas
 
     dq_d = jnp.asarray(dq)
@@ -91,55 +98,15 @@ def _bench_match(dq, dt_arr):
 
     use_pallas = jax.default_backend() == "tpu"
 
-    def one(q):
-        if use_pallas:
-            idx, best, second = two_nn_pallas(q, dt_d, vq, vt)
-        else:
-            from sfm_mvs_pipeline_tpu.ops.matching import two_nn_jnp
-
-            idx, best, second = two_nn_jnp(q, dt_d, vq, vt)
-        return best * ratio_test_mask(best, second, vq)
-
-    # 3 independent difference estimates -> median + spread (VERDICT r3
-    # item 10: make run-to-run variance visible in one artifact)
-    ests = [_diff(one, dq_d) for _ in range(3)]
-    med = float(np.median(ests))
-    extra = {
-        "match_ms_estimates": [round(e * 1e3, 4) for e in ests],
-        "match_ms": round(med * 1e3, 4),
-        "match_ms_min": round(min(ests) * 1e3, 4),
-    }
-
     if not use_pallas:
-        return med, extra
+        from sfm_mvs_pipeline_tpu.ops.matching import two_nn_jnp
 
-    # exact mode (3-term split, ~3e-6 relative): one estimate
-    def one_exact(q):
-        idx, best, second = two_nn_pallas(q, dt_d, vq, vt, exact=True)
-        return best * ratio_test_mask(best, second, vq)
+        def one_cpu(q):
+            idx, best, second = two_nn_jnp(q, dt_d, vq, vt)
+            return best * ratio_test_mask(best, second, vq)
 
-    extra["match_exact_ms"] = round(_diff(one_exact, dq_d) * 1e3, 4)
-
-    # ORB path: +-1 Hamming expansion matched as bf16 (exact, single MXU
-    # pass, D=256) — the binary-descriptor headline
-    dqb = jnp.sign(dq_d).astype(jnp.bfloat16)
-    dqb = jnp.concatenate([dqb, dqb], axis=1)  # D=256 like rBRIEF
-    dtb = jnp.sign(dt_d).astype(jnp.bfloat16)
-    dtb = jnp.concatenate([dtb, dtb], axis=1)
-
-    def one_h(q):
-        # the chain's carry perturbation promotes to f32; cast back so
-        # the kernel sees bf16 (+-1 values survive the cast exactly)
-        idx, best, second = two_nn_pallas(q.astype(jnp.bfloat16), dtb, vq, vt)
-        return best * ratio_test_mask(best, second, vq)
-
-    t_h = _diff(one_h, dqb)
-    extra["match_hamming_ms"] = round(t_h * 1e3, 4)
-    extra["match_hamming_pairs_per_s"] = round(1.0 / t_h, 1)
-
-    # production path: match_pairs_batch over 16 pairs in ONE dispatch
-    # (prep + kernel + collapse + ratio per pair, vmapped into the grid)
-    from sfm_mvs_pipeline_tpu.ops.matching import match_pairs_batch
+        med = float(np.median([_diff(one_cpu, dq_d) for _ in range(3)]))
+        return med, {"match_ms": round(med * 1e3, 4)}
 
     S = 8
     descs = jnp.stack([dq_d] + [dt_d + 0.01 * i for i in range(S - 1)])
@@ -152,9 +119,56 @@ def _bench_match(dq, dt_arr):
         bi, mask = match_pairs_batch(d, valid, pairs)
         return mask.astype(jnp.float32)
 
-    t_b = _diff(batch, descs, n1=4, n2=24) / len(pairs)
-    extra["pipeline_match_ms_per_pair"] = round(t_b * 1e3, 4)
-    extra["pipeline_match_pairs_per_s"] = round(1.0 / t_b, 1)
+    # 3 independent difference estimates -> median + spread (VERDICT r3
+    # item 10: make run-to-run variance visible in one artifact)
+    ests = [
+        _diff(batch, descs, n1=4, n2=24) / len(pairs) for _ in range(3)
+    ]
+    med = float(np.median(ests))
+    extra = {
+        "match_ms_estimates": [round(e * 1e3, 4) for e in ests],
+        "match_ms": round(med * 1e3, 4),
+        "match_ms_min": round(min(ests) * 1e3, 4),
+        "pipeline_match_ms_per_pair": round(med * 1e3, 4),
+        "pipeline_match_pairs_per_s": round(1.0 / med, 1),
+    }
+
+    # single-pair wrapped call (per-call prep not amortized)
+    def one(q):
+        idx, best, second = two_nn_pallas(q, dt_d, vq, vt)
+        return best * ratio_test_mask(best, second, vq)
+
+    t_1 = _diff(one, dq_d)
+    extra["match_single_pair_ms"] = round(t_1 * 1e3, 4)
+
+    # exact mode (3-term split, ~3e-6 relative): one estimate
+    def one_exact(q):
+        idx, best, second = two_nn_pallas(q, dt_d, vq, vt, exact=True)
+        return best * ratio_test_mask(best, second, vq)
+
+    extra["match_exact_ms"] = round(_diff(one_exact, dq_d) * 1e3, 4)
+
+    # ORB path: +-1 Hamming expansion matched as bf16 (exact, single MXU
+    # pass, D=256) — the binary-descriptor headline, batched like the L2
+    # production path
+    dqb = jnp.sign(dq_d).astype(jnp.bfloat16)
+    dqb = jnp.concatenate([dqb, dqb], axis=1)  # D=256 like rBRIEF
+    descs_h = jnp.stack(
+        [dqb] + [
+            jnp.sign(dt_d + 0.01 * i).astype(jnp.bfloat16).repeat(2, axis=1)
+            for i in range(S - 1)
+        ]
+    )
+
+    def batch_h(d):
+        # the chain's carry perturbation promotes to f32; cast back so
+        # the kernel sees bf16 (+-1 values survive the cast exactly)
+        bi, mask = match_pairs_batch(d.astype(jnp.bfloat16), valid, pairs)
+        return mask.astype(jnp.float32)
+
+    t_h = _diff(batch_h, descs_h, n1=4, n2=24) / len(pairs)
+    extra["match_hamming_ms"] = round(t_h * 1e3, 4)
+    extra["match_hamming_pairs_per_s"] = round(1.0 / t_h, 1)
     return med, extra
 
 
@@ -238,20 +252,50 @@ def _floors():
     import jax.numpy as jnp
 
     rng = np.random.default_rng(1)
-    # MXU: square bf16 matmul (4096^3) — compute-bound
-    M = 4096
-    a = jnp.asarray(rng.normal(size=(M, M)).astype(np.float32)).astype(jnp.bfloat16)
-    b = jnp.asarray(rng.normal(size=(M, M)).astype(np.float32)).astype(jnp.bfloat16)
+    # MXU: square bf16 matmul chain whose carry IS the bf16 product.
+    # r5 fix: the generic multiplicative-carry harness (_chain_total)
+    # promotes the operand to f32 (bf16 array x strong-f32 scalar), and XLA
+    # then computes an f32 matmul as a 3-pass bf16 split — measured 60.4
+    # TF/s vs the chip's real ~183 (bench_suite/match_fused_probe2.py).
+    # That flapping floor is what produced the unexplained 62-72% r4
+    # speed-of-light spread. A dedicated y <- y @ Q chain (Q orthogonal so
+    # magnitudes stay bounded over hundreds of steps, bf16 output so no
+    # promotion ever happens) keeps every pass a single bf16 matmul.
+    M = 2048
+    q_, _ = np.linalg.qr(rng.normal(size=(M, M)))
+    b = jnp.asarray(q_.astype(np.float32)).astype(jnp.bfloat16)
+    x0 = jnp.asarray(rng.normal(size=(M, M)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
 
-    def mm(x):
-        return jax.lax.dot_general(
-            x, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        ).astype(jnp.bfloat16)
+    def _mm_chain_total(n, reps=3):
+        @jax.jit
+        def run(x):
+            def body(y, _):
+                y2 = jax.lax.dot_general(
+                    y, b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                )
+                return y2, None
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            return y[0, 0].astype(jnp.float32)
 
-    t = _diff(mm, a, n1=8, n2=72)
-    mxu = 2 * M * M * M / t  # flop/s
+        float(run(x0))  # compile + warm
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # median of 3 estimates: the chip's delivered matmul rate varies
+    # 155-192 TF/s across minutes (clock state), which was the remaining
+    # source of %SoL spread once the probe itself was fixed
+    mxu_ests = [
+        2 * M * M * M / ((_mm_chain_total(152) - _mm_chain_total(8)) / 144)
+        for _ in range(3)
+    ]
+    mxu = float(np.median(mxu_ests))
 
     # VPU: 96 chained elementwise ops per element on an 8 MB array
     x = jnp.asarray(rng.normal(size=(1024, 2048)).astype(np.float32))
@@ -273,7 +317,7 @@ def _floors():
     t = _diff(lambda v: v + 1.0, y, n1=16, n2=144)
     hbm = 2 * y.size * 4 / max(t, 1e-9)
     hbm = min(hbm, 0.82e12)
-    return mxu, vpu, hbm
+    return mxu, vpu, hbm, mxu_ests
 
 
 def _match_roofline(measured_s, mxu, vpu, hbm):
@@ -502,7 +546,7 @@ def main() -> int:
     tpu_rate = 1.0 / match_s
 
     try:
-        mxu, vpu, hbm = _floors()
+        mxu, vpu, hbm, mxu_ests = _floors()
         pct, parts = _match_roofline(match_s, mxu, vpu, hbm)
         extra["match_pct_speed_of_light"] = round(pct, 1)
         extra["match_roofline"] = {
@@ -511,6 +555,7 @@ def main() -> int:
             "model_vpu_ms": round(parts["vpu_ms"], 3),
             "model_hbm_ms": round(parts["hbm_ms"], 3),
             "mxu_tflops": round(mxu / 1e12, 1),
+            "mxu_tflops_estimates": [round(m / 1e12, 1) for m in mxu_ests],
             "vpu_tops": round(vpu / 1e12, 2),
             "hbm_gbs": round(hbm / 1e9, 1),
         }

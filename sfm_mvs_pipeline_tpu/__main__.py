@@ -11,8 +11,10 @@ for _i, _a in enumerate(sys.argv):
     if _a.startswith("-Pthreads="):
         _v = _a.split("=", 1)[1]
         if _v.isdigit() and int(_v) > 0:
-            os.environ.setdefault("OMP_NUM_THREADS", _v)
-            os.environ.setdefault("OPENBLAS_NUM_THREADS", _v)
+            # unconditional: the explicit CLI flag wins over ambient env
+            # (ADVICE r4 — setdefault silently lost to CI-exported values)
+            os.environ["OMP_NUM_THREADS"] = _v
+            os.environ["OPENBLAS_NUM_THREADS"] = _v
 
 from sfm_mvs_pipeline_tpu.cli.app import main  # noqa: E402
 

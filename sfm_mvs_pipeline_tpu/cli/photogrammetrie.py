@@ -167,9 +167,13 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
     if feature_limit <= 0:
         feature_limit = 1 << 18
     feature_limit = min(feature_limit, 1 << 18)
-    # warn only when an EXPLICIT finite user limit is reduced; for 0 =
-    # unlimited the area-driven capacity IS the meaning of "all features"
-    warn_req = requested_limit if requested_limit > 0 else None
+    # warn only when an EXPLICIT finite user limit is reduced (the flag was
+    # actually passed); the default 10000 and 0 = unlimited reduce silently —
+    # the area-driven capacity IS the meaning of "all features" there
+    # (ADVICE r4: get_int alone cannot distinguish the default from a
+    # user-passed 10000)
+    explicit = args.get("feature-limit") is not None
+    warn_req = requested_limit if (explicit and requested_limit > 0) else None
     log.info(f"extracting {detector} features (limit {feature_limit})")
     if detector == "sift":
         from sfm_mvs_pipeline_tpu.ops.sift import sift_features

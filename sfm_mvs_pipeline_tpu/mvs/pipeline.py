@@ -193,6 +193,11 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
         nbr_idx, nbr_valid = fixed_neighbor_table(
             neighbors, rec, cfg.n_neighbors
         )
+        # rect_fallback views are recomputed on host below — zero their
+        # neighbor rows so the device pass skips the wasted full depth map
+        # (ADVICE r4)
+        for i in rect_fallback:
+            nbr_valid[i] = False
         planes_all = np.zeros((len(rec), cfg.n_planes), np.float32)
         for i, s in enumerate(rec):
             z_lo, z_hi = depth_range(scene, s)

@@ -175,19 +175,42 @@ def rectified_pair_depth(
         return jnp.where(inside & in_r, cost, 1.0)
 
     cv = jax.lax.map(level_cost, disps)  # (D, H, W) in the RECTIFIED frame
-    if use_sgm:
-        from sfm_mvs_pipeline_tpu.mvs.sgm import sgm_aggregate
+    dmax = n_levels - 1
+    # At the reference's 3200-px ladder the fused 4-path SGM program needs
+    # ~5 full f32 volumes live and overflows this chip's 15.75 GB HBM
+    # (VERDICT r4 item 2); above the threshold the memory-staged variant
+    # (one aliased f32 accumulator + bf16 cost copies, ~8 GB peak) runs
+    # instead and the WTA reads the lane-minor (H, W, Dp) accumulator.
+    staged_sgm = (
+        use_sgm and h * w >= 2_000_000 and jax.default_backend() == "tpu"
+    )
+    if staged_sgm:
+        from sfm_mvs_pipeline_tpu.ops.pallas.sgm_kernel import sgm_staged_hwd
 
-        cv = sgm_aggregate(cv, sgm_p1, sgm_p2)
+        agg = sgm_staged_hwd(jnp.moveaxis(cv, 0, -1), sgm_p1, sgm_p2)
+        # unnormalized 4-path sum; /4 applied to the reduced (H, W) maps
+        d_idx = jnp.argmin(agg, axis=-1)  # padded lanes hold ~1e9
+        cmin = jnp.min(agg, axis=-1) / 4.0
+
+        def at(idx):
+            return jnp.take_along_axis(
+                agg, jnp.clip(idx, 0, dmax)[..., None], axis=-1
+            )[..., 0] / 4.0
+
+    else:
+        if use_sgm:
+            from sfm_mvs_pipeline_tpu.mvs.sgm import sgm_aggregate
+
+            cv = sgm_aggregate(cv, sgm_p1, sgm_p2)
+        d_idx = jnp.argmin(cv, axis=0)
+        cmin = jnp.min(cv, axis=0)
+
+        def at(idx):
+            return jnp.take_along_axis(
+                cv, jnp.clip(idx, 0, dmax)[None], axis=0
+            )[0]
 
     # WTA + parabola refinement over inverse depth (same as wta_depth)
-    d_idx = jnp.argmin(cv, axis=0)
-    dmax = n_levels - 1
-    cmin = jnp.min(cv, axis=0)
-
-    def at(idx):
-        return jnp.take_along_axis(cv, jnp.clip(idx, 0, dmax)[None], axis=0)[0]
-
     c0 = at(d_idx - 1)
     c2_ = at(d_idx + 1)
     denom = c0 - 2 * cmin + c2_

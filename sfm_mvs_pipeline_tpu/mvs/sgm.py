@@ -34,7 +34,9 @@ def _scan_dir(cost: jax.Array, p1: float, p2: float) -> jax.Array:
         up = jnp.concatenate([prev[:, :1] + p1, prev[:, :-1] + p1], axis=1)
         dn = jnp.concatenate([prev[:, 1:] + p1, prev[:, -1:] + p1], axis=1)
         best = jnp.minimum(jnp.minimum(prev, up), jnp.minimum(dn, m + p2))
-        out = c + best - m
+        # association matches the Pallas kernels (see _sgm_step): best-m
+        # first — it is bounded by p2, avoiding cancellation against c
+        out = c + (best - m)
         return out, out
 
     init = cost[0]

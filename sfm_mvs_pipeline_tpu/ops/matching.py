@@ -228,36 +228,31 @@ def match_pairs_batch(
     TPU-native equivalent of the reference's OMP-parallel pair loop
     (UnorderedFeatureMatchingStrategy.cpp:40).
 
-    Implementation: lax.map over chunks of vmapped pair matches — keeps peak
-    memory at chunk * F^2 instead of P * F^2. On the TPU fast path (bf +
-    pallas, not exact) the MXU operand prep (casts, -2 fold, squared norms)
-    is hoisted PER SHOT via prepare_descriptors — per-pair prep cost the
-    same ~0.09 ms as the 0.10 ms kernel itself.
+    Implementation (TPU fast path, bf + pallas, not exact): ALL pairs run
+    in ONE fused Pallas dispatch (ops/pallas/match_kernel.two_nn_batch_fused,
+    r5) — the kernel scalar-prefetches the pair table and streams raw
+    descriptor tiles straight from the stacked (S, F, D) array; no per-pair
+    slicing, no XLA-side operand prep, no lax.map. Other backends fall back
+    to lax.map over chunks of pair matches (peak memory chunk * F^2).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
     if backend == "pallas" and method == "bf" and not exact:
         from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import (
-            prepare_descriptors,
-            two_nn_pallas_prepared,
+            two_nn_batch_fused,
         )
 
-        q_ops, t_ops, qn, tn = prepare_descriptors(descriptors, valid)
-
-        def one_fast(pair):
-            vq = valid[pair[0]]
-            best_idx, best_sq, second_sq = two_nn_pallas_prepared(
-                q_ops[pair[0]], t_ops[pair[1]], qn[pair[0]], tn[pair[1]], vq
-            )
-            mask = ratio_test_mask(best_sq, second_sq, vq, ratio)
-            if distinct:
-                mask = distinct_filter(best_idx, mask)
-            if with_distance:
-                return best_idx, mask, jnp.sqrt(jnp.maximum(best_sq, 0.0))
-            return best_idx, mask
-
-        return jax.lax.map(one_fast, pairs, batch_size=chunk)
+        best_idx, best_sq, second_sq = two_nn_batch_fused(
+            descriptors, valid, pairs
+        )
+        vq = valid[pairs[:, 0]]  # (P, F)
+        mask = ratio_test_mask(best_sq, second_sq, vq, ratio)
+        if distinct:
+            mask = jax.vmap(distinct_filter)(best_idx, mask)
+        if with_distance:
+            return best_idx, mask, jnp.sqrt(jnp.maximum(best_sq, 0.0))
+        return best_idx, mask
 
     def one(pair):
         dq = descriptors[pair[0]]

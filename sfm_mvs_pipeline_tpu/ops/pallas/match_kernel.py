@@ -39,11 +39,19 @@ delivered plain-bf16 accuracy at 2x MXU cost):
 Off-TPU (the CPU interpret path of the unit tests) operands stay f32 with
 precision=HIGHEST, so oracle tests are deterministic.
 
-Grid: (F/TILE_Q, F/TILE_T), target-tile axis innermost. Accumulators live
-in VMEM scratch across the target sweep; outputs are written once at the
-last target step. (An alternative 1D-grid form holding all of t in VMEM
-compiles >10x slower remotely and gained nothing — the 2D grid with
-scratch is within noise of the merge-only floor, 0.08 ms measured.)
+Grid (r5, _two_nn_fused_kernel): (n_pairs, F/TILE_Q, F/TILE_T) with the
+pair table SCALAR-PREFETCHED — block index maps read (q_shot, t_shot) rows
+and stream tiles straight out of the stacked (S, F, D) operand arrays, so
+a whole pair batch is ONE kernel dispatch with no per-pair slicing and no
+lax.map. Accumulators live in VMEM scratch across the target sweep; the
+cross-lane top-2 collapse, |q|^2 add-back and 0-clip happen at the flush
+step, so outputs are 3 tiny (P, F) vectors. Operand prep (casts, -2 fold,
+norms) stays in XLA per SHOT (prepare_operands): moving it in-kernel
+serializes the MXU against the VPU (the dot then depends on kernel VPU
+output and cannot overlap the previous step's merge — measured 0.145 ms
+vs 0.10 ms, bench_suite/match_fused_probe3.py); per-shot prep amortizes
+to noise across the O(S^2) pair batch. (The legacy 2D-grid form,
+_two_nn_kernel, remains for the exact 3-term-split mode.)
 
 Tie-breaking: within a lane, earlier targets win (strict <); across lanes
 the final argmin picks the lowest lane, which is not necessarily the lowest
@@ -148,51 +156,173 @@ def _pad_to(x, n, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def prepare_descriptors(descriptors: jax.Array, valid: jax.Array):
-    """Per-shot MXU operand prep for the batched TPU match path.
+def _two_nn_fused_kernel(pairs_ref, q_ref, t_ref, tn_ref, qn_ref,
+                         best_ref, second_ref, idx_ref,
+                         b_s, s_s, i_s, *, f32_ops):
+    """Batched 2-NN on PREPARED operands: grid (P, n_qtiles, n_ttiles).
 
-    The per-pair wrapper spends ~0.09 ms on casts/norms/the -2 fold —
-    comparable to the 0.10 ms kernel itself. When S shots feed P ~ S^2/2
-    pairs, doing it once per SHOT amortizes it to noise. Returns
-    (q_ops (S,F,D) bf16 query operands with -2 folded,
-     t_ops (S,F,D) bf16 target operands,
-     qn (S,F) f32 squared norms,
-     tn (S,F) f32 squared norms with invalid slots at BIG)."""
-    df = descriptors.astype(jnp.float32)
-    n = jnp.sum(df * df, axis=-1)  # (S, F)
-    q_ops = (df * -2.0).astype(jnp.bfloat16)
-    t_ops = df.astype(jnp.bfloat16)
-    tn = jnp.where(valid, n, _BIG)
-    return q_ops, t_ops, n, tn
+    r5 (VERDICT item 1): the kernel reads pre-built MXU operand tiles
+    (bf16 with the -2 fold on the query side; f32 off-TPU) straight out of
+    the stacked (S, F, D) arrays via a scalar-prefetched pair table — no
+    per-pair slicing, no lax.map, one dispatch for the whole pair batch.
+    The |q|^2 add-back, 0-clip and the cross-lane top-2 collapse happen at
+    flush, so outputs are tiny (3 x (P, F)) full squared distances.
+
+    Operand prep stays in XLA (prepare_operands) because in-kernel casting
+    SERIALIZES the MXU against the VPU: a dot whose operand is produced by
+    kernel VPU code cannot overlap the previous step's top-2 merge —
+    measured 0.145 ms vs 0.10 ms for this same kernel on prepared tiles
+    (bench_suite/match_fused_probe3.py). Per-shot prep is O(S) and
+    amortizes across the O(S^2) pair batch.
+    """
+    j = pl.program_id(2)
+    qtile = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        b_s[...] = jnp.full((TILE_Q, LANES), _BIG, dtype=jnp.float32)
+        s_s[...] = jnp.full((TILE_Q, LANES), _BIG, dtype=jnp.float32)
+        i_s[...] = jnp.zeros((TILE_Q, LANES), dtype=jnp.int32)
+
+    precision = (
+        jax.lax.Precision.HIGHEST if f32_ops else jax.lax.Precision.DEFAULT
+    )
+    dot = jax.lax.dot_general(
+        q_ref[0], t_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    s = tn_ref[0, 0, :][None, :] + dot
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, LANES), 1)
+    best = b_s[...]
+    second = s_s[...]
+    bidx = i_s[...]
+    for sub in range(_SUB):
+        cand = s[:, sub * LANES : (sub + 1) * LANES]
+        cidx = lane + (j * TILE_T + sub * LANES)
+        hi = jnp.maximum(best, cand)
+        second = jnp.minimum(second, hi)
+        bidx = jnp.where(cand < best, cidx, bidx)
+        best = jnp.minimum(best, cand)
+    b_s[...] = best
+    s_s[...] = second
+    i_s[...] = bidx
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _flush():
+        qn = qn_ref[0, 0, :]  # (TILE_Q,) |q|^2 add-back
+        bl = b_s[...]
+        sl = s_s[...]
+        il = i_s[...]
+        g_best = jnp.min(bl, axis=1)
+        a = jnp.argmin(bl, axis=1)
+        sel = lane == a[:, None]
+        g_idx = jnp.sum(jnp.where(sel, il, 0), axis=1)
+        rest = jnp.where(sel, _BIG, bl)
+        g_second = jnp.minimum(jnp.min(sl, axis=1), jnp.min(rest, axis=1))
+        best_ref[0, qtile, :] = jnp.maximum(g_best + qn, 0.0)
+        second_ref[0, qtile, :] = jnp.maximum(g_second + qn, 0.0)
+        idx_ref[0, qtile, :] = g_idx
 
 
-def two_nn_pallas_prepared(
-    q_op: jax.Array,  # (Fq, D) bf16, -2 pre-folded
-    t_op: jax.Array,  # (Ft, D) bf16
-    qn: jax.Array,  # (Fq,) f32
-    tn: jax.Array,  # (Ft,) f32, invalid slots = BIG
-    valid_q: jax.Array,  # (Fq,) bool
+def prepare_operands(descriptors: jax.Array, valid: jax.Array,
+                     f32_ops: bool, fp: int, d_p: int):
+    """Per-shot MXU operand prep for the fused batched kernel.
+
+    Returns (q_ops (S, fp, d_p) with -2 folded, t_ops (S, fp, d_p),
+    qn (S, 1, fp) f32 |q|^2, tn (S, 1, fp) f32 with invalid slots at BIG).
+    bf16 on TPU (f32_ops=False), f32 otherwise."""
+    df = _pad_to(_pad_to(descriptors, fp, 1), d_p, 2).astype(jnp.float32)
+    n = jnp.sum(df * df, axis=-1)  # (S, fp)
+    q_ops = df * -2.0
+    t_ops = df
+    if not f32_ops:
+        q_ops = q_ops.astype(jnp.bfloat16)
+        t_ops = t_ops.astype(jnp.bfloat16)
+    tn = jnp.where(_pad_to(valid, fp, 1), n, _BIG)[:, None, :]
+    return q_ops, t_ops, n[:, None, :], tn
+
+
+def _fused_call(q_arr, t_arr, tn, qn, pairs, interpret, f32_ops):
+    """Dispatch the fused kernel.
+
+    q_arr (Sq, Fq_p, d_p) prepared query operands (-2 folded);
+    t_arr (St, Ft_p, d_p) prepared target operands;
+    tn (St, 1, Ft_p) f32 squared target norms with invalid slots at BIG;
+    qn (Sq, 1, Fq_p) f32 squared query norms
+    (the middle singletons keep the (sublane, lane) block dims legal);
+    pairs (P, 2) int32 rows (q_shot, t_shot).
+    Returns (best_sq, second_sq, idx), each (P, n_qtiles, TILE_Q)."""
+    n_pairs = pairs.shape[0]
+    fq_p = q_arr.shape[1]
+    ft_p = t_arr.shape[1]
+    d_p = q_arr.shape[2]
+    n_q = fq_p // TILE_Q
+    grid = (n_pairs, n_q, ft_p // TILE_T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_Q, d_p), lambda p, i, j, pr: (pr[p, 0], i, 0)),
+            pl.BlockSpec((1, TILE_T, d_p), lambda p, i, j, pr: (pr[p, 1], j, 0)),
+            pl.BlockSpec((1, 1, TILE_T), lambda p, i, j, pr: (pr[p, 1], 0, j)),
+            pl.BlockSpec((1, 1, TILE_Q), lambda p, i, j, pr: (pr[p, 0], 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_q, TILE_Q), lambda p, i, j, pr: (p, 0, 0)),
+            pl.BlockSpec((1, n_q, TILE_Q), lambda p, i, j, pr: (p, 0, 0)),
+            pl.BlockSpec((1, n_q, TILE_Q), lambda p, i, j, pr: (p, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
+            pltpu.VMEM((TILE_Q, LANES), jnp.float32),
+            pltpu.VMEM((TILE_Q, LANES), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_two_nn_fused_kernel, f32_ops=f32_ops),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pairs, n_q, TILE_Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_pairs, n_q, TILE_Q), jnp.float32),
+            jax.ShapeDtypeStruct((n_pairs, n_q, TILE_Q), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pairs, q_arr, t_arr, tn, qn)
+
+
+def two_nn_batch_fused(
+    descriptors: jax.Array,  # (S, F, D) f32 (or bf16 +-1 Hamming expansion)
+    valid: jax.Array,  # (S, F) bool
+    pairs: jax.Array,  # (P, 2) int32
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """2-NN on pre-built operands (see prepare_descriptors). TPU fast
-    path; same contract as two_nn_pallas."""
-    fq, d = q_op.shape
-    ft = t_op.shape[0]
-    fq_p = pl.cdiv(fq, TILE_Q) * TILE_Q
-    ft_p = pl.cdiv(ft, TILE_T) * TILE_T
-    d_p = pl.cdiv(d, 128) * 128
-    q = _pad_to(_pad_to(q_op, fq_p, 0), d_p, 1)
-    t = _pad_to(_pad_to(t_op, ft_p, 0), d_p, 1)
-    tn_p = _pad_to(tn, ft_p, 0, value=_BIG)[None, :]
+    """All pairs in ONE fused kernel dispatch (see _two_nn_fused_kernel).
 
-    best, second, idx = _call_kernel(
-        q, t, tn_p, fq_p, ft_p, d_p, jax.lax.Precision.DEFAULT, interpret
+    Returns (best_idx (P, F) int32, best_sq (P, F) f32, second_sq (P, F)).
+    XLA-side work is one per-SHOT operand-prep pass (amortized over the
+    O(S^2) pair batch) and the per-pair valid_q gather.
+    """
+    s, f, d = descriptors.shape
+    fp = pl.cdiv(f, TILE_Q) * TILE_Q  # shared capacity: q and t tiles both
+    d_p = pl.cdiv(d, 128) * 128
+    f32_ops = interpret or jax.default_backend() != "tpu"
+    q_ops, t_ops, qn, tn = prepare_operands(
+        descriptors, valid, f32_ops, fp, d_p
     )
-    l1, l2, gidx = _collapse(best, second, idx)
-    best_sq = jnp.where(valid_q, jnp.maximum(l1[:fq] + qn[:fq], 0.0), _BIG)
-    second_sq = jnp.maximum(l2[:fq] + qn[:fq], 0.0)
-    best_idx = jnp.clip(gidx[:fq], 0, ft - 1)
-    return best_idx, best_sq, second_sq
+
+    best, second, idx = _fused_call(
+        q_ops, t_ops, tn, qn, pairs, interpret, f32_ops
+    )
+    p = pairs.shape[0]
+    best = best.reshape(p, -1)[:, :f]
+    second = second.reshape(p, -1)[:, :f]
+    idx = jnp.clip(idx.reshape(p, -1)[:, :f], 0, f - 1)
+    vq = valid[pairs[:, 0]]  # (P, F)
+    best = jnp.where(vq, best, _BIG)
+    return idx, best, second
 
 
 def _call_kernel(q, t, tn, fq_p, ft_p, d_p, precision, interpret):
@@ -257,42 +387,49 @@ def two_nn_pallas(
     ft_p = pl.cdiv(ft, TILE_T) * TILE_T
     d_p = pl.cdiv(d, 128) * 128
 
+    on_tpu = jax.default_backend() == "tpu" and not interpret
+
+    if not exact or desc_q.dtype == jnp.bfloat16 or not on_tpu:
+        # fused path (r5): prepared operands + the scalar-prefetch batched
+        # kernel with n_pairs=1 (see _two_nn_fused_kernel). Covers fast
+        # bf16, the Hamming bf16 expansion, and the f32 CPU/interpret path
+        # (exact falls through to it off-TPU: operands are already f32).
+        f32_ops = not on_tpu
+        q3, _, qn1, _ = prepare_operands(
+            desc_q[None], valid_q[None], f32_ops, fq_p, d_p
+        )
+        _, t3, _, tn1 = prepare_operands(
+            desc_t[None], valid_t[None], f32_ops, ft_p, d_p
+        )
+        pair0 = jnp.zeros((1, 2), jnp.int32)
+        best, second, idx = _fused_call(
+            q3, t3, tn1, qn1, pair0, interpret, f32_ops
+        )
+        best_sq = jnp.where(valid_q, best.reshape(-1)[:fq], _BIG)
+        second_sq = second.reshape(-1)[:fq]
+        best_idx = jnp.clip(idx.reshape(-1)[:fq], 0, ft - 1)
+        return best_idx, best_sq, second_sq
+
+    # exact mode (TPU): 3-term bf16 split with XLA-side operand build
     q = _pad_to(_pad_to(desc_q, fq_p, 0), d_p, 1)
     t = _pad_to(_pad_to(desc_t, ft_p, 0), d_p, 1)
-
     qf = q.astype(jnp.float32)
     tf = t.astype(jnp.float32)
     qn = jnp.sum(qf * qf, axis=1)  # (fq_p,)
     tn = jnp.sum(tf * tf, axis=1)  # (ft_p,)
     tn = jnp.where(_pad_to(valid_t, ft_p, 0), tn, _BIG)[None, :]
 
-    # MXU operand prep (see module docstring): the -2 of the distance
-    # expansion is folded into the query side here (exact: power of two).
-    precision = jax.lax.Precision.DEFAULT
-    if q.dtype == jnp.bfloat16:
-        # ORB +-1 Hamming expansion: EXACT in one bf16 pass (products are
-        # +-2 after the fold, accumulation is f32)
-        q = (q.astype(jnp.float32) * -2.0).astype(jnp.bfloat16)
-    elif jax.default_backend() == "tpu":
-        q2 = qf * -2.0
-        if exact:
-            q_hi = q2.astype(jnp.bfloat16)
-            q_lo = (q2 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            t_hi = tf.astype(jnp.bfloat16)
-            t_lo = (tf - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            q = jnp.concatenate([q_hi, q_lo, q_hi], axis=1)
-            t = jnp.concatenate([t_hi, t_hi, t_lo], axis=1)
-            d_p = 3 * d_p
-        else:
-            q = q2.astype(jnp.bfloat16)
-            t = tf.astype(jnp.bfloat16)
-    else:
-        q = qf * -2.0
-        t = tf
-        precision = jax.lax.Precision.HIGHEST
+    q2 = qf * -2.0
+    q_hi = q2.astype(jnp.bfloat16)
+    q_lo = (q2 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    t_hi = tf.astype(jnp.bfloat16)
+    t_lo = (tf - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    q = jnp.concatenate([q_hi, q_lo, q_hi], axis=1)
+    t = jnp.concatenate([t_hi, t_hi, t_lo], axis=1)
+    d_p = 3 * d_p
 
     best, second, idx = _call_kernel(
-        q, t, tn, fq_p, ft_p, d_p, precision, interpret
+        q, t, tn, fq_p, ft_p, d_p, jax.lax.Precision.DEFAULT, interpret
     )
     l1, l2, gidx = _collapse(best, second, idx)
     best_sq = jnp.where(valid_q, jnp.maximum(l1[:fq] + qn[:fq], 0.0), _BIG)

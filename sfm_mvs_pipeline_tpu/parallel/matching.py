@@ -50,45 +50,38 @@ def _sharded_matcher(
         # pallas_call's out_shape carries no varying-mesh-axes annotation,
         # which the default check_vma=True rejects when the TPU kernel path
         # runs inside shard_map (found driving the 1-device-mesh overhead
-        # bench on real hardware)
-        check_vma=False,
+        # bench on real hardware). Only the pallas paths (fast AND exact
+        # both lower to pallas_call) need the opt-out; the jnp/flann paths
+        # keep the validation (ADVICE r4)
+        check_vma=not (backend == "pallas" and method == "bf"),
     )
     def go(descs, val, prs):
         if fast:
-            # per-SHOT operand prep, hoisted out of the pair loop exactly
-            # like the single-device match_pairs_batch fast path (the
-            # per-pair prep costs ~the kernel itself)
+            # the single-device fused batched path runs per shard: one
+            # Pallas dispatch for the whole pair shard (r5 fused kernel)
             from sfm_mvs_pipeline_tpu.ops.matching import (
                 distinct_filter,
                 ratio_test_mask,
             )
             from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import (
-                prepare_descriptors,
-                two_nn_pallas_prepared,
+                two_nn_batch_fused,
             )
 
-            q_ops, t_ops, qn, tn = prepare_descriptors(descs, val)
+            bi, bs, ss = two_nn_batch_fused(descs, val, prs)
+            vq = val[prs[:, 0]]
+            mask = ratio_test_mask(bs, ss, vq, ratio)
+            if distinct:
+                mask = jax.vmap(distinct_filter)(bi, mask)
+            if with_distance:
+                return bi, mask, jnp.sqrt(jnp.maximum(bs, 0.0))
+            return bi, mask
 
-            def one(pair):
-                vq = val[pair[0]]
-                bi, bs, ss = two_nn_pallas_prepared(
-                    q_ops[pair[0]], t_ops[pair[1]], qn[pair[0]], tn[pair[1]],
-                    vq,
-                )
-                mask = ratio_test_mask(bs, ss, vq, ratio)
-                if distinct:
-                    mask = distinct_filter(bi, mask)
-                if with_distance:
-                    return bi, mask, jnp.sqrt(jnp.maximum(bs, 0.0))
-                return bi, mask
-
-        else:
-            def one(pair):
-                return match_pair(
-                    descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
-                    ratio=ratio, distinct=distinct, backend=backend,
-                    method=method, with_distance=with_distance, exact=exact,
-                )
+        def one(pair):
+            return match_pair(
+                descs[pair[0]], descs[pair[1]], val[pair[0]], val[pair[1]],
+                ratio=ratio, distinct=distinct, backend=backend,
+                method=method, with_distance=with_distance, exact=exact,
+            )
 
         return jax.lax.map(one, prs, batch_size=chunk)
 

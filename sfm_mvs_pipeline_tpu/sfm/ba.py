@@ -682,8 +682,20 @@ def _dense_jacobians(points, poses, intr, cam_of_shot, uv_ps, w_ps):
     R_s = jax.vmap(aa_to_rotmat)(poses[:, :3])  # (S, 3, 3)
     dR = jax.vmap(jax.jacfwd(aa_to_rotmat))(poses[:, :3])  # (S, 3, 3, 3)
     X_T = points.T  # (3, P)
-    Xc = jnp.einsum("sab,bp->asp", R_s, X_T) + poses[:, 3:].T[:, :, None]
-    dXc_daa = jnp.einsum("sabk,bp->aksp", dR, X_T)  # (3 cam-coord, 3 aa, S, P)
+    # Tiny-contraction einsums (contracting a 2- or 3-long axis with P in
+    # lanes) lower to XLA "convolution fusions" that ran at 7-40 GiB/s with
+    # layout-copy glue — together ~16 of the 20 ms device iteration
+    # (r5 jax.profiler trace, BASELINE.md BA table). Unrolling them into
+    # explicit broadcast-multiply-sums keeps every op an elementwise fusion
+    # at HBM speed in the shared P-minor layout.
+    Xc = sum(
+        R_s[:, :, b].T[:, :, None] * X_T[b][None, None] for b in range(3)
+    ) + poses[:, 3:].T[:, :, None]  # (3, S, P)
+    dXc_daa = sum(
+        jnp.transpose(dR[:, :, b, :], (1, 2, 0))[:, :, :, None]
+        * X_T[b][None, None, None]
+        for b in range(3)
+    )  # (3 cam-coord, 3 aa, S, P)
 
     def res_cam(v, uv, w):
         xc, k = v[:3], v[3:]
@@ -709,8 +721,14 @@ def _dense_jacobians(points, poses, intr, cam_of_shot, uv_ps, w_ps):
     )  # (2, 10, S*P)
     J_xc = Jv[:, :3].reshape(2, 3, S, P)
     Ji = Jv[:, 3:].reshape(2, 7, S, P)
-    Jp = jnp.einsum("lbsp,sbc->lcsp", J_xc, R_s)
-    Jc_rot = jnp.einsum("lbsp,bksp->lksp", J_xc, dXc_daa)
+    # b=3 contractions unrolled (see the Xc comment): elementwise fusions
+    # instead of degenerate convolutions
+    Jp = sum(
+        J_xc[:, b, None] * R_s[:, b, :].T[None, :, :, None] for b in range(3)
+    )  # (2, 3, S, P)
+    Jc_rot = sum(
+        J_xc[:, b, None] * dXc_daa[b][None] for b in range(3)
+    )  # (2, 3, S, P)
     Jc = jnp.concatenate([Jc_rot, J_xc], axis=1)  # (2, 6, S, P)
     return Jp, Jc, Ji, r.reshape(2, S, P)
 
@@ -775,9 +793,19 @@ def ba_build_dense(
     Hcc = jnp.block([[pp, pi], [pi.T, ii]])
     g_full = jnp.concatenate([gc.reshape(-1), gi.reshape(-1)])
 
-    # ---- point blocks (3, 3, P) / (3, P): elementwise over lanes
-    Hpp = jnp.einsum("lasp,lbsp->abp", Jp, Jp)  # (3, 3, P)
-    gp = jnp.einsum("lasp,lsp->ap", Jp, r)  # (3, P)
+    # ---- point blocks (3, 3, P) / (3, P): elementwise over lanes.
+    # Unrolled over the symmetric 3x3 output (see the _dense_jacobians
+    # comment): each entry is one multiply+reduce fusion at HBM speed
+    # instead of a degenerate-convolution lowering.
+    hpp_rows = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(a, 3):
+            hpp_rows[a][b] = jnp.sum(Jp[:, a] * Jp[:, b], axis=(0, 1))
+            hpp_rows[b][a] = hpp_rows[a][b]
+    Hpp = jnp.stack([jnp.stack(row) for row in hpp_rows])  # (3, 3, P)
+    gp = jnp.stack(
+        [jnp.sum(Jp[:, a] * r, axis=(0, 1)) for a in range(3)]
+    )  # (3, P)
     diag3 = jnp.maximum(
         jnp.stack([Hpp[0, 0], Hpp[1, 1], Hpp[2, 2]]), 1e-8
     )  # (3, P)
@@ -786,11 +814,21 @@ def ba_build_dense(
     )
     Bp = _inv3x3_pm(damped)  # (3, 3, P)
 
-    # ---- Schur correction: U (3, D, P) built directly in final layout
-    U_pose = jnp.einsum("lasp,lisp->asip", Jp, Jc).reshape(3, n_shots * 6, P)
-    U_intr = jnp.einsum("lasp,ljsp,sc->acjp", Jp, Ji, oh_cam).reshape(
-        3, n_cams * 7, P
-    )
+    # ---- Schur correction: U (3, D, P). The l=2 contractions are unrolled
+    # broadcast multiplies (elementwise fusions); the one materialized
+    # transpose to the (a, s, i, p) D-ordering runs at full copy bandwidth,
+    # unlike the 4.5 ms degenerate-convolution einsum it replaces.
+    UP = sum(Jp[l][:, None] * Jc[l][None] for l in range(2))  # (3, 6, S, P)
+    U_pose = jnp.transpose(UP, (0, 2, 1, 3)).reshape(3, n_shots * 6, P)
+    UI = sum(Jp[l][:, None] * Ji[l][None] for l in range(2))  # (3, 7, S, P)
+    if n_cams == 1:
+        # single shared camera (the reference's default scene setup):
+        # the one-hot contraction is a plain sum over shots
+        U_intr = jnp.sum(UI, axis=2).reshape(3, 7, P)
+    else:
+        U_intr = jnp.einsum("ajsp,sc->acjp", UI, oh_cam).reshape(
+            3, n_cams * 7, P
+        )
     U = jnp.concatenate([U_pose, U_intr], axis=1)  # (3, D, P)
     BU = jnp.einsum("abp,bdp->adp", Bp, U)
     S_corr = jnp.einsum("adp,aep->de", U, BU)  # (D, 3P) @ (3P, D)

@@ -123,14 +123,12 @@ def test_pallas_exact_mode_interpret(rng):
     np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_j), rtol=1e-5)
 
 
-def test_prepared_path_matches_jnp(rng):
-    """The per-shot-prepared TPU fast path (prepare_descriptors +
-    two_nn_pallas_prepared) must agree with the jnp oracle. Integer-valued
-    descriptors <= 128 (the real cv2-SIFT value range) are exactly
-    representable in bf16, so the agreement is exact."""
+def test_fused_batch_matches_jnp(rng):
+    """The fused batched TPU fast path (two_nn_batch_fused: one Pallas
+    dispatch for all pairs, scalar-prefetched pair table, in-kernel operand
+    prep + |q|^2 add-back) must agree with the jnp oracle pair by pair."""
     from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import (
-        prepare_descriptors,
-        two_nn_pallas_prepared,
+        two_nn_batch_fused,
     )
 
     S, F, D = 3, 200, 128
@@ -138,20 +136,18 @@ def test_prepared_path_matches_jnp(rng):
         rng.integers(0, 128, size=(S, F, D)).astype(np.float32)
     )
     valid = jnp.asarray(rng.random((S, F)) > 0.1)
-    q_ops, t_ops, qn, tn = prepare_descriptors(descs, valid)
-    for a, b in ((0, 1), (2, 0)):
+    pairs = jnp.asarray([(0, 1), (2, 0), (1, 2)], jnp.int32)
+    bi_f, b_f, s_f = two_nn_batch_fused(descs, valid, pairs, interpret=True)
+    for k, (a, b) in enumerate(((0, 1), (2, 0), (1, 2))):
         bi_j, b_j, s_j = M.two_nn_jnp(descs[a], descs[b], valid[a], valid[b])
-        bi_p, b_p, s_p = two_nn_pallas_prepared(
-            q_ops[a], t_ops[b], qn[a], tn[b], valid[a], interpret=True
-        )
         m_j = np.asarray(M.ratio_test_mask(b_j, s_j, valid[a]))
-        m_p = np.asarray(M.ratio_test_mask(b_p, s_p, valid[a]))
+        m_p = np.asarray(M.ratio_test_mask(b_f[k], s_f[k], valid[a]))
         np.testing.assert_array_equal(m_p, m_j)
         np.testing.assert_array_equal(
-            np.asarray(bi_p)[m_j], np.asarray(bi_j)[m_j]
+            np.asarray(bi_f[k])[m_j], np.asarray(bi_j)[m_j]
         )
         np.testing.assert_allclose(
-            np.asarray(b_p)[m_j], np.asarray(b_j)[m_j], rtol=1e-6
+            np.asarray(b_f[k])[m_j], np.asarray(b_j)[m_j], rtol=1e-6
         )
 
 

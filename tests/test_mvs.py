@@ -167,6 +167,30 @@ def test_pallas_sgm_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(out_v), np.asarray(tb + bt), atol=1e-6)
 
 
+def test_sgm_staged_matches_scan(rng):
+    """The r5 memory-staged 4-path SGM (single-direction aliased-accumulator
+    sweeps over bf16 cost copies) must match the lax.scan reference up to
+    the bf16 rounding of its cost input. Run with bf16-exact integer-grid
+    costs so the comparison is tight."""
+    from sfm_mvs_pipeline_tpu.mvs.sgm import _scan_dir
+    from sfm_mvs_pipeline_tpu.ops.pallas.sgm_kernel import sgm_staged_hwd
+
+    h, w, d = 13, 21, 37
+    # costs on a 1/64 grid in [0, 2): exactly representable in bf16
+    v = jnp.asarray(
+        (rng.integers(0, 128, size=(h, w, d)) / 64.0).astype(np.float32)
+    )
+    p1, p2 = 0.0625, 0.5  # powers of two: exact in every dtype
+    lr = jnp.swapaxes(_scan_dir(jnp.swapaxes(v, 0, 1), p1, p2), 0, 1)
+    rl = jnp.swapaxes(_scan_dir(jnp.swapaxes(v, 0, 1)[::-1], p1, p2)[::-1], 0, 1)
+    tb = _scan_dir(v, p1, p2)
+    bt = _scan_dir(v[::-1], p1, p2)[::-1]
+    want = np.asarray(lr + rl + tb + bt)
+
+    out = sgm_staged_hwd(v, p1, p2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[:, :, :d], want, atol=1e-5)
+
+
 def test_texture_and_refine(plane_scene, tmp_path):
     """Texture atlas + textured PLY + photometric refinement on the synthetic
     scene: every face with a visible view gets one, texels come from real
