@@ -365,29 +365,38 @@ def _bench_ba():
         "ba_iters_per_s": round(iters / best, 2),
         "ba_cost": round(cost, 4),
     }
-    # steady-state LM iteration rate: run the solver with ftol=0 so all 20
-    # iterations execute, separating per-iteration device cost from the
-    # solve's fixed host/tunnel overhead (table build + transfers + fetch)
-    cfg_all = BAConfig(max_iterations=20, function_tolerance=0.0)
-    out = run_bundle_adjustment(*args, config=cfg_all)
-    float(np.asarray(out["cost"]))
-    best20 = np.inf
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = run_bundle_adjustment(*args, config=cfg_all)
-        float(np.asarray(out["cost"]))
-        best20 = min(best20, time.perf_counter() - t0)
-    it20 = max(int(out["iterations"]), 1)
-    if it20 > iters and best20 > best + 1e-3:
-        res["ba_iters_per_s_steady"] = round((it20 - iters) / (best20 - best), 2)
-    elif it20 > iters:
-        # noise made the longer run no slower: the difference is not a
-        # valid measurement — flag it instead of reporting an absurd rate
-        res["ba_iters_per_s_steady"] = None
+    # steady-state LM iteration rate by difference between a 5- and a
+    # 205-iteration budget (ftol=0 so the budget is exhausted). r5: the
+    # trace-backed device iteration is 1.61 ms (BASELINE.md BA table), so
+    # a 15-iteration difference (r4) would be far below the ~0.1 s
+    # run-to-run noise of the fixed host/transfer overhead — 200
+    # iterations make the difference measurable.
+    def timed_budget(n):
+        cfg_n = BAConfig(max_iterations=n, function_tolerance=0.0)
+        out_n = run_bundle_adjustment(*args, config=cfg_n)
+        float(np.asarray(out_n["cost"]))
+        best_n = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out_n = run_bundle_adjustment(*args, config=cfg_n)
+            float(np.asarray(out_n["cost"]))
+            best_n = min(best_n, time.perf_counter() - t0)
+        return best_n, max(int(out_n["iterations"]), 1)
+
+    t5, i5 = timed_budget(5)
+    t205, i205 = timed_budget(205)
+    res["ba_solve5_s"] = round(t5, 3)
+    res["ba_solve205_s"] = round(t205, 3)
+    res["ba_iters205"] = i205
+    if i205 > i5 and t205 > t5 + 1e-3:
+        res["ba_iters_per_s_steady"] = round((i205 - i5) / (t205 - t5), 1)
+        res["ba_ms_per_iter_device"] = round(
+            (t205 - t5) / (i205 - i5) * 1e3, 2
+        )
     else:
-        res["ba_iters_per_s_steady"] = round(it20 / best20, 2)
-    res["ba_solve20_s"] = round(best20, 3)
-    res["ba_iters20"] = it20
+        # noise made the longer run no slower: flag instead of reporting
+        # an absurd rate
+        res["ba_iters_per_s_steady"] = None
     return res
 
 
@@ -423,20 +432,43 @@ def _bench_dense():
     t = _diff(lambda v: sgm_aggregate(v), cv, n1=4, n2=24)
     out["sgm_ms"] = round(t * 1e3, 1)
 
-    # PatchMatch at the r2 VERDICT's comparison size (360x202, 3 nbrs):
-    # classic random-init 8-iteration schedule, and the pipeline's default
-    # rect-seeded 2-iteration schedule
+    # PatchMatch at the r2 VERDICT's comparison size (360x202, 3 nbrs),
+    # classic random-init 8-iteration schedule. r5: the production TPU
+    # path is the rectified-frame Pallas-scored PatchMatch
+    # (mvs/patchmatch.py patchmatch_rect_depth — per-pixel continuous
+    # disparity, same candidate schedule); the old warp-based formulation
+    # is timed alongside as patchmatch_warp_s_per_view.
     h2, w2 = 202, 360
     ref2 = jnp.asarray(rng.random((h2, w2)).astype(np.float32))
     nbrs2 = jnp.asarray(rng.random((3, h2, w2)).astype(np.float32))
-    t = _chain(
-        lambda r: patchmatch_depth(
-            r, nbrs2, pose_r, poses_n[:3], intr, 5.0, 20.0,
-            jax.random.PRNGKey(0), iterations=8,
-        )[0],
-        ref2, 2,
-    )
-    out["patchmatch_s_per_view"] = round(t, 2)
+    if jax.default_backend() == "tpu":
+        from sfm_mvs_pipeline_tpu.mvs.patchmatch import patchmatch_rect_depth
+
+        t = _chain(
+            lambda r: patchmatch_rect_depth(
+                r, nbrs2, pose_r, poses_n[:3], intr, 5.0, 20.0,
+                jax.random.PRNGKey(0), iterations=8, max_disp=256,
+            )[0],
+            ref2, 4,
+        )
+        out["patchmatch_s_per_view"] = round(t, 3)
+        t = _chain(
+            lambda r: patchmatch_depth(
+                r, nbrs2, pose_r, poses_n[:3], intr, 5.0, 20.0,
+                jax.random.PRNGKey(0), iterations=8,
+            )[0],
+            ref2, 2,
+        )
+        out["patchmatch_warp_s_per_view"] = round(t, 2)
+    else:
+        t = _chain(
+            lambda r: patchmatch_depth(
+                r, nbrs2, pose_r, poses_n[:3], intr, 5.0, 20.0,
+                jax.random.PRNGKey(0), iterations=8,
+            )[0],
+            ref2, 2,
+        )
+        out["patchmatch_s_per_view"] = round(t, 2)
 
     def seeded(r):
         sd, _sc, sv = rectified_depth(

@@ -178,11 +178,26 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
     if detector == "sift":
         from sfm_mvs_pipeline_tpu.ops.sift import sift_features
 
-        feats = sift_features(
-            jnp.asarray(imgs),
-            max_features=_feature_cap(feature_limit, w, h, warn_req),
-            contrast_threshold=0.09,  # ref: cv::SIFT::create(..., 0.09)
-        )
+        # adaptive capacity (r5): start small and escalate x4 only on
+        # saturation — top-k/padded-slot work scales with CAPACITY, not
+        # detections (insel: ~290 detections in 16384 slots cost 1.2 s/
+        # batch vs 0.65 s at 1024; bench_suite logs in BASELINE.md)
+        cap_env = _feature_cap(feature_limit, w, h, warn_req)
+        cap = min(cap_env, 2048)
+        while True:
+            feats = sift_features(
+                jnp.asarray(imgs),
+                max_features=cap,
+                contrast_threshold=0.09,  # ref: cv::SIFT::create(..., 0.09)
+            )
+            detected = int(np.asarray(feats["valid"]).sum(axis=1).max())
+            if detected < cap or cap >= cap_env:
+                break
+            cap = min(cap * 4, cap_env)
+            log.info(
+                f"feature capacity saturated ({detected}); escalating "
+                f"to {cap}"
+            )
         descs = np.asarray(feats["descriptors"])
     elif detector == "orb":
         from sfm_mvs_pipeline_tpu.ops.orb import orb_features

@@ -261,6 +261,48 @@ def run_mvs(scene, out_dir: str, cfg: MVSConfig | None = None, log=lambda *a: No
             nb = (nbrs + [nbrs[0]] * cap)[:cap]
             nb_ok = np.zeros(cap, bool)
             nb_ok[: min(len(nbrs), cap)] = True
+
+            # r5: on TPU, classic PatchMatch runs in the rectified frame
+            # (per-pixel continuous disparity, Pallas-scored — beats the
+            # ~110 M elem/s XLA gather wall by ~2 orders of magnitude);
+            # geometry-degenerate views keep the warp-based formulation
+            from sfm_mvs_pipeline_tpu.mvs.rectified import rect_geometry_ok
+
+            geo_ok = rect_geometry_ok(poses[i], poses[nb]) & nb_ok
+            if _jax.default_backend() == "tpu" and geo_ok.any():
+                from sfm_mvs_pipeline_tpu.mvs.patchmatch import (
+                    patchmatch_rect_depth,
+                )
+                from sfm_mvs_pipeline_tpu.mvs.rectified import derive_max_disp
+
+                depth, cost, valid = patchmatch_rect_depth(
+                    jnp.asarray(grays[i]), jnp.asarray(grays[nb]),
+                    jnp.asarray(poses[i]), jnp.asarray(poses[nb]),
+                    jnp.asarray(intr_pinhole, jnp.float32),
+                    jnp.float32(z_lo), jnp.float32(z_hi),
+                    _jax.random.fold_in(_jax.random.PRNGKey(0), i),
+                    iterations=cfg.pm_iterations,
+                    window_radius=cfg.window_radius,
+                    max_cost=cfg.max_cost,
+                    max_disp=derive_max_disp(
+                        poses[i], poses[nb], float(intr_pinhole[0]),
+                        float(z_lo), w,
+                    ),
+                    nbr_valid=jnp.asarray(geo_ok),
+                )
+                depth_maps[i] = np.asarray(depth)
+                valids[i] = np.asarray(valid)
+                log(
+                    f"view {s}: depth range [{z_lo:.2f}, {z_hi:.2f}], "
+                    f"{int(valids[i].sum())}/{h*w} valid px (rect-PM)"
+                )
+                if cfg.keep_artifacts:
+                    np.save(
+                        os.path.join(out_dir, f"depth_{s:04d}.npy"),
+                        depth_maps[i],
+                    )
+                continue
+
             seed_d = seed_v = None
             pm_iters = cfg.pm_iterations
             if cfg.pm_seed_rect:

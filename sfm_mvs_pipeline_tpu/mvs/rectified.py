@@ -67,6 +67,73 @@ def _homography_warp(img: jax.Array, Hinv: jax.Array):
     return vals, inside
 
 
+def rect_frame(ref_img, nbr_img, pose_r, pose_n, intr):
+    """Shared Fusiello rectification setup for one (ref, nbr) pair.
+
+    Returns a dict with the rectified images + masks and the frame
+    geometry; used by the rectified disparity sweep and the r5
+    rectified-frame PatchMatch (mvs/patchmatch.py)."""
+    dt = ref_img.dtype
+    K = intrinsics_to_K(intr).astype(dt)
+    Kinv = jnp.linalg.inv(K)
+
+    R_r = aa_to_rotmat(pose_r[:3]).astype(dt)
+    R_n = aa_to_rotmat(pose_n[:3]).astype(dt)
+    C_r = -R_r.T @ pose_r[3:].astype(dt)
+    C_n = -R_n.T @ pose_n[3:].astype(dt)
+    base = C_n - C_r
+    b = jnp.linalg.norm(base)
+    ok_b = b > 1e-9
+    e1 = base / jnp.maximum(b, 1e-12)
+    r3 = R_r[2]  # ref optical axis in world
+    # degenerate when baseline ~ parallel to the optical axis
+    c2 = jnp.cross(r3, e1)
+    n2 = jnp.linalg.norm(c2)
+    ok_geom = ok_b & (n2 > 0.3)  # sin of axis/baseline angle > ~17 deg
+    e2 = c2 / jnp.maximum(n2, 1e-12)
+    e3 = jnp.cross(e1, e2)
+    R_R = jnp.stack([e1, e2, e3])  # world -> rectified axes
+
+    # homographies pixel_ref -> pixel_rect and pixel_nbr -> pixel_rect
+    H_ref = K @ R_R @ R_r.T @ Kinv
+    H_nbr = K @ R_R @ R_n.T @ Kinv
+    ref_rect, in_r = _homography_warp(ref_img, jnp.linalg.inv(H_ref))
+    nbr_rect, in_n = _homography_warp(nbr_img, jnp.linalg.inv(H_nbr))
+    return {
+        "K": K, "Kinv": Kinv, "R_r": R_r, "R_R": R_R, "b": b,
+        "ok_geom": ok_geom, "H_ref": H_ref,
+        "ref_rect": ref_rect, "in_r": in_r,
+        "nbr_rect": nbr_rect, "in_n": in_n,
+    }
+
+
+def rect_back_to_ref(iz_rect, cmin, val_rect, H_ref, Kinv, R_r, R_R,
+                     ok_geom, h, w):
+    """Warp a rectified-frame inverse-depth result back to the REFERENCE
+    frame (shared tail of rectified_pair_depth; see its geometry comment).
+    Returns (z_ref (H, W), cost_ref, valid)."""
+    dt = iz_rect.dtype
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=dt), jnp.arange(w, dtype=dt), indexing="ij"
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], 0).reshape(3, -1)
+    q = H_ref @ pix
+    qz = jnp.where(jnp.abs(q[2]) < 1e-9, 1e-9, q[2])
+    qx = (q[0] / qz).reshape(h, w)
+    qy = (q[1] / qz).reshape(h, w)
+    iz_ref, q_in = _bilinear_hw(iz_rect, qx, qy)
+    vmap_f, _ = _bilinear_hw(val_rect.astype(dt), qx, qy)
+    cost_ref, _ = _bilinear_hw(cmin, qx, qy)
+
+    z_rect = 1.0 / jnp.maximum(iz_ref, 1e-9)
+    qn = jnp.stack([qx, qy, jnp.ones_like(qx)], 0).reshape(3, -1)
+    X1 = (Kinv @ qn) * z_rect.reshape(-1)[None]
+    z_ref = ((R_r @ R_R.T) @ X1)[2].reshape(h, w)
+
+    valid = q_in & (vmap_f > 0.999) & (z_ref > 1e-6) & ok_geom
+    return z_ref, cost_ref, valid
+
+
 def _shift_x(img: jax.Array, pad: jax.Array, shift_int: jax.Array, maxd: int):
     """out[y, x] = img[y, x - shift_int] via dynamic slice of a pre-padded
     (H, maxd + W) buffer; shift_int in [0, maxd]."""
@@ -112,31 +179,18 @@ def rectified_pair_depth(
     """
     h, w = ref_img.shape
     dt = ref_img.dtype
-    K = intrinsics_to_K(intr).astype(dt)
-    Kinv = jnp.linalg.inv(K)
-
-    R_r = aa_to_rotmat(pose_r[:3]).astype(dt)
-    R_n = aa_to_rotmat(pose_n[:3]).astype(dt)
-    C_r = -R_r.T @ pose_r[3:].astype(dt)
-    C_n = -R_n.T @ pose_n[3:].astype(dt)
-    base = C_n - C_r
-    b = jnp.linalg.norm(base)
-    ok_b = b > 1e-9
-    e1 = base / jnp.maximum(b, 1e-12)
-    r3 = R_r[2]  # ref optical axis in world
-    # degenerate when baseline ~ parallel to the optical axis
-    c2 = jnp.cross(r3, e1)
-    n2 = jnp.linalg.norm(c2)
-    ok_geom = ok_b & (n2 > 0.3)  # sin of axis/baseline angle > ~17 deg
-    e2 = c2 / jnp.maximum(n2, 1e-12)
-    e3 = jnp.cross(e1, e2)
-    R_R = jnp.stack([e1, e2, e3])  # world -> rectified axes
-
-    # homographies pixel_ref -> pixel_rect and pixel_nbr -> pixel_rect
-    H_ref = K @ R_R @ R_r.T @ Kinv
-    H_nbr = K @ R_R @ R_n.T @ Kinv
-    ref_rect, in_r = _homography_warp(ref_img, jnp.linalg.inv(H_ref))
-    nbr_rect, in_n = _homography_warp(nbr_img, jnp.linalg.inv(H_nbr))
+    fr = rect_frame(ref_img, nbr_img, pose_r, pose_n, intr)
+    K = fr["K"]
+    Kinv = fr["Kinv"]
+    R_r = fr["R_r"]
+    R_R = fr["R_R"]
+    b = fr["b"]
+    ok_geom = fr["ok_geom"]
+    H_ref = fr["H_ref"]
+    ref_rect = fr["ref_rect"]
+    in_r = fr["in_r"]
+    nbr_rect = fr["nbr_rect"]
+    in_n = fr["in_n"]
 
     f = intr[0].astype(dt)
     iz = jnp.linspace(
@@ -223,30 +277,13 @@ def rectified_pair_depth(
     interior = (d_idx > 0) & (d_idx < dmax)
     val_rect = (cmin <= max_cost) & interior & ok_geom
 
-    # ---- warp back to the REFERENCE frame.
+    # ---- warp back to the REFERENCE frame (shared helper).
     # iz here parameterizes RECT-frame z: z_rect = 1/iz. For ref pixel p,
     # its rect pixel is q = H_ref p; the 3D point is X1 = z_rect K^-1 q,
     # and ref-frame depth is the 3rd coord of R_r R_R^T X1.
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=dt), jnp.arange(w, dtype=dt), indexing="ij"
+    return rect_back_to_ref(
+        iz_rect, cmin, val_rect, H_ref, Kinv, R_r, R_R, ok_geom, h, w
     )
-    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], 0).reshape(3, -1)
-    q = H_ref @ pix
-    qz = jnp.where(jnp.abs(q[2]) < 1e-9, 1e-9, q[2])
-    qx = (q[0] / qz).reshape(h, w)
-    qy = (q[1] / qz).reshape(h, w)
-    iz_ref, q_in = _bilinear_hw(iz_rect, qx, qy)
-    # nearest-sampled validity AND all 4 bilinear taps valid enough
-    vmap_f, _ = _bilinear_hw(val_rect.astype(dt), qx, qy)
-    cost_ref, _ = _bilinear_hw(cmin, qx, qy)
-
-    z_rect = 1.0 / jnp.maximum(iz_ref, 1e-9)
-    qn = jnp.stack([qx, qy, jnp.ones_like(qx)], 0).reshape(3, -1)
-    X1 = (Kinv @ qn) * z_rect.reshape(-1)[None]
-    z_ref = ((R_r @ R_R.T) @ X1)[2].reshape(h, w)
-
-    valid = q_in & (vmap_f > 0.999) & (z_ref > 1e-6) & ok_geom
-    return z_ref, cost_ref, valid
 
 
 def derive_max_disp(

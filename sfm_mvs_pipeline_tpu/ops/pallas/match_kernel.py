@@ -195,16 +195,18 @@ def _two_nn_fused_kernel(pairs_ref, q_ref, t_ref, tn_ref, qn_ref,
     )
     s = tn_ref[0, 0, :][None, :] + dot
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, LANES), 1)
     best = b_s[...]
     second = s_s[...]
     bidx = i_s[...]
     for sub in range(_SUB):
         cand = s[:, sub * LANES : (sub + 1) * LANES]
-        cidx = lane + (j * TILE_T + sub * LANES)
+        # per-element index bookkeeping is a SCALAR block id: the winning
+        # lane is positional, so global idx = block_id * 128 + lane
+        # (saves the per-element iota add of the r4 form)
+        blk = j * _SUB + sub
         hi = jnp.maximum(best, cand)
         second = jnp.minimum(second, hi)
-        bidx = jnp.where(cand < best, cidx, bidx)
+        bidx = jnp.where(cand < best, blk, bidx)
         best = jnp.minimum(best, cand)
     b_s[...] = best
     s_s[...] = second
@@ -213,13 +215,15 @@ def _two_nn_fused_kernel(pairs_ref, q_ref, t_ref, tn_ref, qn_ref,
     @pl.when(j == pl.num_programs(2) - 1)
     def _flush():
         qn = qn_ref[0, 0, :]  # (TILE_Q,) |q|^2 add-back
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, LANES), 1)
         bl = b_s[...]
         sl = s_s[...]
         il = i_s[...]
         g_best = jnp.min(bl, axis=1)
         a = jnp.argmin(bl, axis=1)
         sel = lane == a[:, None]
-        g_idx = jnp.sum(jnp.where(sel, il, 0), axis=1)
+        g_blk = jnp.sum(jnp.where(sel, il, 0), axis=1)
+        g_idx = g_blk * LANES + a  # block id -> global target index
         rest = jnp.where(sel, _BIG, bl)
         g_second = jnp.minimum(jnp.min(sl, axis=1), jnp.min(rest, axis=1))
         best_ref[0, qtile, :] = jnp.maximum(g_best + qn, 0.0)

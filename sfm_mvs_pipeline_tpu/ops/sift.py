@@ -268,11 +268,11 @@ _DESC_GRID = 16  # samples per side for descriptor
 _N_ORI_BINS = 36
 
 
-def _keypoint_orientation(gauss: jax.Array, lvl, x, y, sigma_rel):
-    """Dominant gradient orientation. gauss: (nlev, H, W) octave stack; lvl,
-    x, y, sigma_rel: (K,) per-keypoint level / octave coords / scales.
+def _keypoint_orientation(samp, x, y, sigma_rel, dtype):
+    """Dominant gradient orientation. samp(sx, sy) -> samples (K, S) from
+    each keypoint's own (octave, level) plane; x, y, sigma_rel: (K,).
     Returns angle (K,) rad."""
-    lin = jnp.arange(-_ORI_GRID, _ORI_GRID + 1, dtype=gauss.dtype)
+    lin = jnp.arange(-_ORI_GRID, _ORI_GRID + 1, dtype=dtype)
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")  # (n, n)
     # flatten the sample grid so the (K, n*n) temporaries keep the long axis
     # in lanes — (K, 17, 17) pads 10.6x under TPU (8, 128) tiling and OOMs
@@ -283,10 +283,9 @@ def _keypoint_orientation(gauss: jax.Array, lvl, x, y, sigma_rel):
     step = (3.0 * 1.5) / _ORI_GRID * sigma_rel  # (K,)
     sx = x[:, None] + gx[None] * step[:, None]
     sy = y[:, None] + gy[None] * step[:, None]
-    lv = lvl[:, None]
 
-    dxs = _bilinear(gauss, sx + 1, sy, lv) - _bilinear(gauss, sx - 1, sy, lv)
-    dys = _bilinear(gauss, sx, sy + 1, lv) - _bilinear(gauss, sx, sy - 1, lv)
+    dxs = samp(sx + 1, sy) - samp(sx - 1, sy)
+    dys = samp(sx, sy + 1) - samp(sx, sy - 1)
     mag = jnp.sqrt(dxs * dxs + dys * dys)
     theta = jnp.arctan2(dys, dxs)  # (K, n*n)
 
@@ -296,13 +295,13 @@ def _keypoint_orientation(gauss: jax.Array, lvl, x, y, sigma_rel):
     bins = (theta / (2 * jnp.pi) * _N_ORI_BINS) % _N_ORI_BINS
     b0 = jnp.floor(bins).astype(jnp.int32) % _N_ORI_BINS
     f = bins - jnp.floor(bins)
-    oh0 = jax.nn.one_hot(b0, _N_ORI_BINS, dtype=gauss.dtype) * ((1 - f) * wgt)[..., None]
-    oh1 = jax.nn.one_hot((b0 + 1) % _N_ORI_BINS, _N_ORI_BINS, dtype=gauss.dtype) * (
+    oh0 = jax.nn.one_hot(b0, _N_ORI_BINS, dtype=dtype) * ((1 - f) * wgt)[..., None]
+    oh1 = jax.nn.one_hot((b0 + 1) % _N_ORI_BINS, _N_ORI_BINS, dtype=dtype) * (
         f * wgt
     )[..., None]
     hist = jnp.sum(oh0 + oh1, axis=1)  # (K, 36)
     # smooth histogram (circular [1 4 6 4 1]/16 like OpenCV, applied once)
-    kern = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], gauss.dtype) / 16.0
+    kern = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], dtype) / 16.0
     histp = jnp.concatenate([hist[:, -2:], hist, hist[:, :2]], axis=1)
     hist = jax.vmap(lambda hrow: jnp.convolve(hrow, kern, mode="valid"))(histp)
 
@@ -313,16 +312,17 @@ def _keypoint_orientation(gauss: jax.Array, lvl, x, y, sigma_rel):
     hn = hist[jnp.arange(hist.shape[0]), (peak + 1) % _N_ORI_BINS]
     denom = hp - 2 * hc + hn
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hp - hn) / denom, 0.0)
-    ang_bin = peak.astype(gauss.dtype) + jnp.clip(delta, -0.5, 0.5)
+    ang_bin = peak.astype(dtype) + jnp.clip(delta, -0.5, 0.5)
     return (ang_bin / _N_ORI_BINS) * 2 * jnp.pi
 
 
-def _keypoint_descriptor(gauss: jax.Array, lvl, x, y, sigma_rel, angle):
-    """Classic 4x4x8 SIFT descriptor. gauss: (nlev, H, W). Returns (K, 128)."""
+def _keypoint_descriptor(samp, x, y, sigma_rel, angle, dtype):
+    """Classic 4x4x8 SIFT descriptor. samp(sx, sy) -> (K, S) samples from
+    each keypoint's own (octave, level) plane. Returns (K, 128)."""
     d = 4
     n = _DESC_GRID
     # sample grid in descriptor-bin units: [-d/2, d/2) with n samples/side
-    lin = (jnp.arange(n, dtype=gauss.dtype) + 0.5) / n * d - d / 2.0  # bin units
+    lin = (jnp.arange(n, dtype=dtype) + 0.5) / n * d - d / 2.0  # bin units
     gy, gx = jnp.meshgrid(lin, lin, indexing="ij")  # (n, n)
     # flat (n*n,) grid: keeps the sample axis in TPU lanes (see
     # _keypoint_orientation) instead of a (K, 16, 16) layout that pads 8x.
@@ -340,9 +340,8 @@ def _keypoint_descriptor(gauss: jax.Array, lvl, x, y, sigma_rel, angle):
         :, None
     ] + y[:, None]
 
-    lv = lvl[:, None]
-    dxs = _bilinear(gauss, px + 1, py, lv) - _bilinear(gauss, px - 1, py, lv)
-    dys = _bilinear(gauss, px, py + 1, lv) - _bilinear(gauss, px, py - 1, lv)
+    dxs = samp(px + 1, py) - samp(px - 1, py)
+    dys = samp(px, py + 1) - samp(px, py - 1)
     mag = jnp.sqrt(dxs * dxs + dys * dys)
     theta = jnp.arctan2(dys, dxs) - angle[:, None]
 
@@ -375,8 +374,8 @@ def _keypoint_descriptor(gauss: jax.Array, lvl, x, y, sigma_rel, angle):
     ob = (theta / (2 * jnp.pi) * nb) % nb
     o0 = jnp.floor(ob).astype(jnp.int32) % nb
     fo = ob - jnp.floor(ob)
-    Wo = jax.nn.one_hot(o0, nb, dtype=gauss.dtype) * (1 - fo)[..., None] + jax.nn.one_hot(
-        (o0 + 1) % nb, nb, dtype=gauss.dtype
+    Wo = jax.nn.one_hot(o0, nb, dtype=dtype) * (1 - fo)[..., None] + jax.nn.one_hot(
+        (o0 + 1) % nb, nb, dtype=dtype
     ) * fo[..., None]  # (K, n*n, 8)
 
     desc = jnp.einsum("kn,ns,kno->kso", wgt, Wsp, Wo)  # (K, 16, 8)
@@ -459,8 +458,11 @@ def _sift_describe_octave(G, cand_k, octave: int):
     candidate slice, masked to this octave's members."""
 
     def per_image(Gi, xi, yi, li, sri):
-        ang = _keypoint_orientation(Gi, li, xi, yi, sri)
-        descs = _keypoint_descriptor(Gi, li, xi, yi, sri, ang)
+        def samp(sx, sy):
+            return _bilinear(Gi, sx, sy, li[:, None])
+
+        ang = _keypoint_orientation(samp, xi, yi, sri, Gi.dtype)
+        descs = _keypoint_descriptor(samp, xi, yi, sri, ang, Gi.dtype)
         return ang, descs
 
     mine = (cand_k["octave"] == octave) & cand_k["valid"]
@@ -471,6 +473,56 @@ def _sift_describe_octave(G, cand_k, octave: int):
         G, xs, ys, cand_k["layer"], cand_k["sigma_rel"]
     )
     return ang, descs, mine
+
+
+@jax.jit
+def _sift_describe_flat(flat, xs, ys, lvl, sig, base, h_o, w_o):
+    """Phase 2, ALL octaves in ONE dispatch (r5).
+
+    The per-octave form ran n_octaves jitted calls, each describing the
+    full k_sel candidate slice and masking foreign octaves — ~5x the
+    gather work and 5 device round trips on insel (2.4 s of the 5.3 s
+    warm wall). Here the whole Gaussian pyramid is FLATTENED per image
+    (flat (B, T)) and each keypoint samples its own octave plane through
+    per-keypoint (base, H, W) offsets — flat 1D gathers, the fast XLA
+    gather mode. One call, one compile, work sized by k_sel once.
+
+    xs/ys/lvl/sig: (B, K) octave-local candidate data; base/h_o/w_o:
+    (B, K) int32 per-keypoint flat offset + octave plane dims."""
+
+    def per_image(fi, x, y, li, sri, bi, hi, wi):
+        Hk = hi[:, None]
+        Wk = wi[:, None]
+        lk = li[:, None]
+        bk = bi[:, None]
+
+        def samp(sx, sy):
+            x0 = jnp.floor(sx)
+            y0 = jnp.floor(sy)
+            fx = sx - x0
+            fy = sy - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+
+            def at(yy, xx):
+                inside = (yy >= 0) & (yy < Hk) & (xx >= 0) & (xx < Wk)
+                yc = jnp.clip(yy, 0, Hk - 1)
+                xc = jnp.clip(xx, 0, Wk - 1)
+                idx = bk + (lk * Hk + yc) * Wk + xc
+                return jnp.where(inside, fi[idx], 0.0)
+
+            return (
+                at(y0i, x0i) * (1 - fx) * (1 - fy)
+                + at(y0i, x0i + 1) * fx * (1 - fy)
+                + at(y0i + 1, x0i) * (1 - fx) * fy
+                + at(y0i + 1, x0i + 1) * fx * fy
+            )
+
+        ang = _keypoint_orientation(samp, x, y, sri, fi.dtype)
+        descs = _keypoint_descriptor(samp, x, y, sri, ang, fi.dtype)
+        return ang, descs
+
+    return jax.vmap(per_image)(flat, xs, ys, lvl, sig, base, h_o, w_o)
 
 
 def sift_features(
@@ -514,18 +566,37 @@ def sift_features(
 
     cand_k = {k: v[:, :k_sel] for k, v in cand.items() if k != "n_valid"}
     F = max_features
-    angle = jnp.zeros((b, F), images.dtype)
-    descs = jnp.zeros((b, F, 128), images.dtype)
-    for o in range(n_octaves):
-        ang_o, desc_o, mine = _sift_describe_octave(
-            gaussians[o], cand_k, o
-        )
-        angle = angle.at[:, :k_sel].set(
-            jnp.where(mine, ang_o, angle[:, :k_sel])
-        )
-        descs = descs.at[:, :k_sel].set(
-            jnp.where(mine[..., None], desc_o, descs[:, :k_sel])
-        )
+
+    # r5: one flat-pyramid describe dispatch for all octaves (see
+    # _sift_describe_flat). Per-image pyramid sizes/offsets are static.
+    sizes = [int(np.prod(g.shape[1:])) for g in gaussians]
+    off_tab = jnp.asarray(
+        np.concatenate([[0], np.cumsum(sizes)])[:-1], jnp.int32
+    )
+    h_tab = jnp.asarray([g.shape[2] for g in gaussians], jnp.int32)
+    w_tab = jnp.asarray([g.shape[3] for g in gaussians], jnp.int32)
+    flat = jnp.concatenate([g.reshape(b, -1) for g in gaussians], axis=1)
+
+    valid_k = cand_k["valid"]
+    oct_k = jnp.clip(cand_k["octave"], 0, n_octaves - 1)
+    nlev = gaussians[0].shape[1]
+    xs = jnp.where(valid_k, cand_k["x"], 16.0)
+    ys = jnp.where(valid_k, cand_k["y"], 16.0)
+    lvl_k = jnp.clip(cand_k["layer"], 0, nlev - 1)
+    ang_k, desc_k = _sift_describe_flat(
+        flat, xs, ys, lvl_k, cand_k["sigma_rel"],
+        off_tab[oct_k], h_tab[oct_k], w_tab[oct_k],
+    )
+    angle = (
+        jnp.zeros((b, F), images.dtype)
+        .at[:, :k_sel]
+        .set(jnp.where(valid_k, ang_k, 0.0))
+    )
+    descs = (
+        jnp.zeros((b, F, 128), images.dtype)
+        .at[:, :k_sel]
+        .set(jnp.where(valid_k[..., None], desc_k, 0.0))
+    )
 
     # map octave-local coords back to original image space
     scale_f = (2.0 ** cand["octave"].astype(images.dtype)) / (

@@ -101,6 +101,47 @@ def _triangulate_pair_jit(
     return pts, keep
 
 
+@partial(jax.jit, static_argnames=("use_rel",))
+def _pairs_fused_jit(
+    kp_a, kp_b, idx, mask, intr_a, intr_b, pose_a, pose_b,
+    thresh_px, max_err, keys, use_rel: bool,
+):
+    """P pairs in ONE dispatch: essential RANSAC -> cheirality pose ->
+    triangulation (r5, VERDICT item 4 — the sequential per-pair dispatches
+    cost ~0.4 s each through the tunnel; batching makes the whole
+    baseline scan / adjoining-pair set one round trip).
+
+    use_rel=True triangulates in the pair's own frame (identity | rel
+    pose) — the baseline case, where the second pose IS the output;
+    otherwise the supplied global poses are used.
+    Returns (pose_rel (P,6), em2 (P,F), pts (P,F,3), keep (P,F),
+    n_inl (P,))."""
+
+    def one(kp_a, kp_b, idx, mask, intr_a, intr_b, pose_a, pose_b, key):
+        uv1 = kp_a
+        uv2 = kp_b[idx]
+        xy1 = undistort_points(intr_a, uv1)
+        xy2 = undistort_points(intr_b, uv2)
+        f = intr_a[0]
+        E, em, _ = find_essential_ransac(key, xy1, xy2, mask, thresh_px / f)
+        pose_rel, em2 = recover_pose(E, xy1, xy2, em)
+        if use_rel:
+            pa = jnp.zeros(6, kp_a.dtype)
+            pb = pose_rel
+        else:
+            pa = pose_a
+            pb = pose_b
+        pts, keep, _errs = triangulate_pair(
+            pa, pb, intr_a, intr_b, uv1, uv2,
+            valid=em2, max_reprojection_error=max_err,
+        )
+        return pose_rel, em2, pts, keep, jnp.sum(em2)
+
+    return jax.vmap(one)(
+        kp_a, kp_b, idx, mask, intr_a, intr_b, pose_a, pose_b, keys
+    )
+
+
 def _homography_ratios(scene: Scene, match_idx, match_mask, pairs, thresh, seed):
     """Batched homography inlier ratio per pair (lax.map chunks)."""
     kp = jnp.asarray(scene.keypoints)
@@ -273,6 +314,41 @@ def reconstruct(
         )
         return np.asarray(pose), np.asarray(em), mask
 
+    def _full_mask(a, b):
+        ia, _, _ = pair_matches[(a, b)]
+        mask = np.zeros(F, bool)
+        mask[ia] = True
+        return mask
+
+    def pairs_fused(pair_list, use_rel, thresh):
+        """Essential+pose+triangulation for a SET of pairs in one
+        dispatch (r5): returns host (pose_rel, em2, pts, keep, n_inl)
+        stacks. Pads to a power-of-two pair count for compile-bucket
+        stability (padded rows repeat pair 0 with fresh keys; callers
+        slice to len(pair_list))."""
+        nonlocal key
+        n = len(pair_list)
+        cap = 1
+        while cap < n:
+            cap *= 2
+        padded = list(pair_list) + [pair_list[0]] * (cap - n)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, cap)
+        A = np.asarray([p[0] for p in padded])
+        B = np.asarray([p[1] for p in padded])
+        idxs = np.stack([_full_idx(a, b) for a, b in padded])
+        masks = np.stack([_full_mask(a, b) for a, b in padded])
+        out = _pairs_fused_jit(
+            kp_d[A], kp_d[B], jnp.asarray(idxs), jnp.asarray(masks),
+            intr_d[scene.cam_of_shot[A]], intr_d[scene.cam_of_shot[B]],
+            jnp.asarray(scene.poses[A], _dt), jnp.asarray(scene.poses[B], _dt),
+            thresh, cfg.max_reprojection_error, keys, use_rel,
+        )
+        pose_rel, em2, pts, keep, n_inl = jax.device_get(out)
+        return (
+            pose_rel[:n], em2[:n], pts[:n], keep[:n], n_inl[:n], masks[:n]
+        )
+
     def triangulate_and_merge(a, b, em):
         """Triangulate inlier matches of a recovered pair and merge into
         tracks (the reference's mergePointcloudElement3d2d by shared
@@ -290,6 +366,11 @@ def reconstruct(
         )
         pts = np.asarray(pts)
         keep = np.asarray(keep)
+        return merge_pair_points(a, b, pts, keep)
+
+    def merge_pair_points(a, b, pts, keep):
+        """Host-side track bookkeeping for one pair's triangulated points
+        (pts (F, 3), keep (F,) numpy)."""
         idx_b = _full_idx(a, b)
         i_all = np.nonzero(keep)[0]
         j_all = idx_b[i_all]
@@ -412,30 +493,68 @@ def reconstruct(
             if live[k_] and ratios[k_] >= 0
         ]
     baseline_found = False
-    for k_ in order:
-        a, b = int(pairs[k_][0]), int(pairs[k_][1])
-        log(f"trying baseline pair ({a}, {b}) ratio={ratios[k_]:.3f}")
+    # speculative batch (r5): pose + triangulation for up to 8 candidate
+    # pairs in ONE dispatch; the host then walks the results in order —
+    # a failed first candidate costs nothing extra
+    for start in range(0, len(order), 8):
+        chunk = order[start : start + 8]
+        cand_pairs = [
+            (int(pairs[k_][0]), int(pairs[k_][1])) for k_ in chunk
+        ]
         try:
-            pose_rel, em, mask = pair_pose(a, b, thr_base)
-        except Exception as e:  # numerical failure: try next pair
-            log(f"baseline pose failed: {e}")
+            pose_rel_c, em_c, pts_c, keep_c, n_inl_c, masks_c = pairs_fused(
+                cand_pairs, use_rel=True, thresh=thr_base
+            )
+        except Exception as e:  # numerical failure: sequential fallback
+            log(f"batched baseline scan failed ({e}); sequential retry")
+            pose_rel_c = None
+        if pose_rel_c is None:
+            for k_, (a, b) in zip(chunk, cand_pairs):
+                log(f"trying baseline pair ({a}, {b}) ratio={ratios[k_]:.3f}")
+                try:
+                    pose_rel, em, mask = pair_pose(a, b, thr_base)
+                except Exception as e:
+                    log(f"baseline pose failed: {e}")
+                    continue
+                pose_ratio = em.sum() / max(mask.sum(), 1)
+                if pose_ratio < cfg.min_pose_inlier_ratio:
+                    log(f"pose inlier ratio too low: {pose_ratio:.3f}")
+                    continue
+                scene.poses[a] = 0.0
+                scene.poses[b] = pose_rel
+                scene.recovered[a] = True
+                scene.recovered[b] = True
+                n_new, _ = triangulate_and_merge(a, b, em)
+                log(f"baseline ({a}, {b}): {n_new} points")
+                queue.discard((a, b))
+                done_pairs.append((a, b))
+                stats["baseline"] = (a, b)
+                stats["views"] = 2
+                baseline_found = True
+                break
+            if baseline_found:
+                break
             continue
-        pose_ratio = em.sum() / max(mask.sum(), 1)
-        if pose_ratio < cfg.min_pose_inlier_ratio:
-            log(f"pose inlier ratio too low: {pose_ratio:.3f}")
-            continue
-        scene.poses[a] = 0.0
-        scene.poses[b] = pose_rel
-        scene.recovered[a] = True
-        scene.recovered[b] = True
-        n_new, _ = triangulate_and_merge(a, b, em)
-        log(f"baseline ({a}, {b}): {n_new} points")
-        queue.discard((a, b))
-        done_pairs.append((a, b))
-        stats["baseline"] = (a, b)
-        stats["views"] = 2
-        baseline_found = True
-        break
+        for j, (k_, (a, b)) in enumerate(zip(chunk, cand_pairs)):
+            log(f"trying baseline pair ({a}, {b}) ratio={ratios[k_]:.3f}")
+            pose_ratio = n_inl_c[j] / max(masks_c[j].sum(), 1)
+            if pose_ratio < cfg.min_pose_inlier_ratio:
+                log(f"pose inlier ratio too low: {pose_ratio:.3f}")
+                continue
+            scene.poses[a] = 0.0
+            scene.poses[b] = pose_rel_c[j]
+            scene.recovered[a] = True
+            scene.recovered[b] = True
+            n_new, _ = merge_pair_points(a, b, pts_c[j], keep_c[j])
+            log(f"baseline ({a}, {b}): {n_new} points")
+            queue.discard((a, b))
+            done_pairs.append((a, b))
+            stats["baseline"] = (a, b)
+            stats["views"] = 2
+            baseline_found = True
+            break
+        if baseline_found:
+            break
     if not baseline_found:
         log("no baseline pair could be triangulated")
         return stats
@@ -492,22 +611,37 @@ def reconstruct(
         scene.recovered[s] = True
         stats["views"] += 1
 
-        # process adjoining recovered pairs (ref: SfM.cpp:333-371)
+        # process adjoining recovered pairs (ref: SfM.cpp:333-371) —
+        # all of them in ONE fused dispatch (r5)
         adjoining = [
             p
             for p in sorted(queue)
             if s in p and scene.recovered[p[0]] and scene.recovered[p[1]]
         ]
-        for a, b in adjoining:
+        if adjoining:
             try:
-                _, em, _ = pair_pose(a, b, thr_base)
+                _pr, _em, pts_c, keep_c, _ni, _mk = pairs_fused(
+                    adjoining, use_rel=False, thresh=thr_base
+                )
             except Exception as e:
-                log(f"pair ({a},{b}) pose failed: {e}")
-                continue
-            n_new, n_ext = triangulate_and_merge(a, b, em)
-            log(f"pair ({a}, {b}): +{n_new} points, +{n_ext} track extensions")
-            queue.discard((a, b))
-            done_pairs.append((a, b))
+                log(f"batched pair processing failed ({e}); sequential")
+                pts_c = None
+            for j, (a, b) in enumerate(adjoining):
+                if pts_c is not None:
+                    n_new, n_ext = merge_pair_points(a, b, pts_c[j], keep_c[j])
+                else:
+                    try:
+                        _, em, _ = pair_pose(a, b, thr_base)
+                    except Exception as e:
+                        log(f"pair ({a},{b}) pose failed: {e}")
+                        continue
+                    n_new, n_ext = triangulate_and_merge(a, b, em)
+                log(
+                    f"pair ({a}, {b}): +{n_new} points, "
+                    f"+{n_ext} track extensions"
+                )
+                queue.discard((a, b))
+                done_pairs.append((a, b))
         # collapse UNLINKED duplicate tracks by pure 3D distance (the batch
         # equivalent of the reference's mergePointcloudElement,
         # Scene.cpp:435-468), same gate as the linked fusion above

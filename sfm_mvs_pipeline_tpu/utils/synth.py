@@ -21,19 +21,35 @@ def render_views(
     w: int = 320,
     f: float = 280.0,
     seed: int = 11,
+    texture_path: str | None = None,
 ):
     """Render n_views JPEGs of a textured two-plane scene into out_dir.
 
     Cameras yaw by 0.05 rad/view around a lateral track (the geometry the
     incremental SfM + BA stack must recover). Returns (paths, gt_R (V,3,3)
-    world->cam, gt_C (V,3) camera centers)."""
+    world->cam, gt_C (V,3) camera centers).
+
+    texture_path: surface the scene with a REAL photograph instead of the
+    procedural noise textures — the closest attainable stand-in for a real
+    multi-view capture in a zero-egress environment (real radiometry and
+    texture statistics, synthetic geometry with exact ground truth)."""
     import cv2
 
     rng = np.random.default_rng(seed)
-    tex = cv2.GaussianBlur(rng.random((1024, 1024)).astype(np.float32), (0, 0), 3.0)
-    tex = (tex - tex.min()) / (tex.max() - tex.min())
-    tex2 = cv2.GaussianBlur(rng.random((1024, 1024)).astype(np.float32), (0, 0), 2.0)
-    tex2 = (tex2 - tex2.min()) / (tex2.max() - tex2.min())
+    if texture_path is not None:
+        photo = cv2.imread(texture_path, cv2.IMREAD_GRAYSCALE)
+        photo = cv2.resize(photo, (1024, 1024)).astype(np.float32) / 255.0
+        tex = photo
+        tex2 = np.rot90(photo).copy()
+    else:
+        tex = cv2.GaussianBlur(
+            rng.random((1024, 1024)).astype(np.float32), (0, 0), 3.0
+        )
+        tex = (tex - tex.min()) / (tex.max() - tex.min())
+        tex2 = cv2.GaussianBlur(
+            rng.random((1024, 1024)).astype(np.float32), (0, 0), 2.0
+        )
+        tex2 = (tex2 - tex2.min()) / (tex2.max() - tex2.min())
     gt_R, gt_C, paths = [], [], []
     os.makedirs(out_dir, exist_ok=True)
     for v in range(n_views):
