@@ -290,9 +290,16 @@ def _floors():
 
     # median of 3 estimates: the chip's delivered matmul rate varies
     # 155-192 TF/s across minutes (clock state), which was the remaining
-    # source of %SoL spread once the probe itself was fixed
+    # source of %SoL spread once the probe itself was fixed. Long chains
+    # (600-iteration difference = ~53 ms) keep the ~5 ms tunnel noise
+    # under 10%; the physical clamp (v5e bf16 peak 197 TF/s) stops one
+    # bad difference from reporting an impossible rate.
     mxu_ests = [
-        2 * M * M * M / ((_mm_chain_total(152) - _mm_chain_total(8)) / 144)
+        min(
+            2 * M * M * M
+            / ((_mm_chain_total(608) - _mm_chain_total(8)) / 600),
+            197e12,
+        )
         for _ in range(3)
     ]
     mxu = float(np.median(mxu_ests))
@@ -372,7 +379,14 @@ def _bench_ba():
     # run-to-run noise of the fixed host/transfer overhead — 200
     # iterations make the difference measurable.
     def timed_budget(n):
-        cfg_n = BAConfig(max_iterations=n, function_tolerance=0.0)
+        # lambda_up=1.0 keeps the LM loop running the FULL budget (with
+        # the default schedule, post-convergence rejects explode lambda
+        # past max_lambda after ~25 iterations and the 24-iteration wall
+        # difference drowns in the ~0.1 s tunnel noise); every iteration
+        # still executes the full build+solve+residual body
+        cfg_n = BAConfig(
+            max_iterations=n, function_tolerance=0.0, lambda_up=1.0
+        )
         out_n = run_bundle_adjustment(*args, config=cfg_n)
         float(np.asarray(out_n["cost"]))
         best_n = np.inf
@@ -594,6 +608,14 @@ def main() -> int:
         try:
             mf = _merge_floor()
             extra["match_merge_floor_ms"] = round(mf * 1e3, 4)
+            # Mosaic executes the dot and the top-2 merge SEQUENTIALLY
+            # within a grid step (r5: three overlap designs measured
+            # slower — BASELINE.md match section); the achievable bound
+            # for this algorithm on this compiler is their SUM.
+            serial_bound = parts["mxu_ms"] / 1e3 + mf
+            extra["match_pct_of_serial_bound"] = round(
+                serial_bound / match_s * 100.0, 1
+            )
         except Exception as e:
             extra["merge_floor_error"] = str(e)[:120]
     except Exception as e:
@@ -611,7 +633,7 @@ def main() -> int:
         extra["dense_error"] = str(e)
 
     try:
-        if time.perf_counter() - T_START < 420:
+        if time.perf_counter() - T_START < 540:
             extra.update(_bench_insel())
         else:
             extra["insel_skipped"] = "time budget"

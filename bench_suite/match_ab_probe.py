@@ -62,7 +62,7 @@ def main():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    TQ, TT, LANES = 2048, 256, 128
+    TQ, TT, LANES = 1024, 512, 128
     SUB = TT // LANES
     BIG = MK._BIG
 
@@ -98,12 +98,11 @@ def main():
         def _w1():
             sc1[...] = s
 
-        @pl.when(j > 0)
-        def _merge():
+        def merge_from(scr):
             best = b_s[...]
             second = s_s[...]
             bidx = i_s[...]
-            prev = jnp.where((jax.lax.rem(j, 2) == 1), sc0[...], sc1[...])
+            prev = scr[...]
             for sub in range(SUB):
                 cand = prev[:, sub * LANES : (sub + 1) * LANES]
                 blk = (j - 1) * SUB + sub
@@ -114,6 +113,16 @@ def main():
             b_s[...] = best
             s_s[...] = second
             i_s[...] = bidx
+
+        # split branches: merging "the other" scratch via a traced select
+        # reads BOTH buffers; these read one each
+        @pl.when((j > 0) & ~even)
+        def _merge0():
+            merge_from(sc0)
+
+        @pl.when((j > 0) & even)
+        def _merge1():
+            merge_from(sc1)
 
         @pl.when(j == n_t)
         def _flush():
