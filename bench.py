@@ -169,6 +169,7 @@ def _bench_match(dq, dt_arr):
     t_h = _diff(batch_h, descs_h, n1=4, n2=24) / len(pairs)
     extra["match_hamming_ms"] = round(t_h * 1e3, 4)
     extra["match_hamming_pairs_per_s"] = round(1.0 / t_h, 1)
+    extra["_hamming_t"] = t_h  # for the D=256 roofline entry in main()
     return med, extra
 
 
@@ -618,6 +619,20 @@ def main() -> int:
             )
         except Exception as e:
             extra["merge_floor_error"] = str(e)[:120]
+        # Hamming/ORB roofline (VERDICT r4 item 7): the +-1 expansion is
+        # D=256, so its useful-work MXU floor is 2x the L2 path's; the
+        # merge work is identical
+        t_h = extra.pop("_hamming_t", None)
+        if t_h:
+            ham_mxu = 2 * F * F * 256 / mxu
+            extra["hamming_pct_speed_of_light"] = round(
+                ham_mxu / t_h * 100.0, 1
+            )
+            if "match_merge_floor_ms" in extra:
+                extra["hamming_pct_of_serial_bound"] = round(
+                    (ham_mxu + extra["match_merge_floor_ms"] / 1e3)
+                    / t_h * 100.0, 1
+                )
     except Exception as e:
         extra["floors_error"] = str(e)
 
@@ -640,6 +655,7 @@ def main() -> int:
     except Exception as e:
         extra["insel_error"] = str(e)
 
+    extra.pop("_hamming_t", None)  # internal; dropped if floors failed
     print(
         json.dumps(
             {

@@ -184,9 +184,10 @@ def _run_inner(args: AppArgs, out_dir: str, image_args: list) -> int:
         # batch vs 0.65 s at 1024; bench_suite logs in BASELINE.md)
         cap_env = _feature_cap(feature_limit, w, h, warn_req)
         cap = min(cap_env, 2048)
+        imgs_d = jnp.asarray(imgs)  # upload once, not per escalation
         while True:
             feats = sift_features(
-                jnp.asarray(imgs),
+                imgs_d,
                 max_features=cap,
                 contrast_threshold=0.09,  # ref: cv::SIFT::create(..., 0.09)
             )

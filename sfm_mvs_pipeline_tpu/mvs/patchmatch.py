@@ -260,11 +260,18 @@ def _pm_rect_pair(
     r_mean = r_sum / area
     r_var = jnp.maximum(r_sq / area - r_mean * r_mean, 1e-8)
 
+    in_r = fr["in_r"]
+
     def score(cands):
-        return pm_score_rect(
+        c = pm_score_rect(
             cands, ref_rect, fr["nbr_rect"], in_n, r_mean, r_var,
             maxd=max_disp, window_radius=r, interpret=interpret,
         )
+        # ref-side rectified-validity gate (mirrors the sweep engine's
+        # `inside & in_r`): windows overlapping the zero-filled outside-ref
+        # region would otherwise score ZNCC against zeros with r_var at
+        # the 1e-8 floor (code-review r5)
+        return jnp.where(in_r[None], c, 1.0)
 
     key, k0 = jax.random.split(key)
     d = d_lo + span * jax.random.uniform(k0, (h, w), dt)

@@ -399,6 +399,8 @@ def two_nn_pallas(
         # bf16, the Hamming bf16 expansion, and the f32 CPU/interpret path
         # (exact falls through to it off-TPU: operands are already f32).
         f32_ops = not on_tpu
+        # the unused halves of each prepare_operands call are dead code
+        # inside this jit and XLA eliminates them — no wasted prep work
         q3, _, qn1, _ = prepare_operands(
             desc_q[None], valid_q[None], f32_ops, fq_p, d_p
         )

@@ -80,10 +80,15 @@ def _pm_score_kernel(cand_ref, nbr_ref, msk_ref, ref_ref, rm_ref, rv_ref,
         # all window offsets o in [-r, r]
         lo_o = []
         masks = []
+        bias = maxd_pad + 128  # makes the dividend non-negative so the
+        # truncating lax.div/rem act as FLOOR division — without it a
+        # source index < 0 (d == maxd at the left edge) decomposes to
+        # hi=0 with a negative lo instead of hi=-1 (code-review r5)
+        nb = bias // 128
         for oi in range(2 * r + 2):
-            s = src0 + jnp.int32(oi - r - 1)
+            s = src0 + jnp.int32(oi - r - 1 + bias)
             lo_o.append(jax.lax.rem(s, jnp.int32(128)))
-            hi = jax.lax.div(s, jnp.int32(128))
+            hi = jax.lax.div(s, jnp.int32(128)) - nb
             masks.append({dv: hi == dv for dv in deltas})
 
         def wide_gather(row, oi):

@@ -38,6 +38,8 @@ def render_views(
     rng = np.random.default_rng(seed)
     if texture_path is not None:
         photo = cv2.imread(texture_path, cv2.IMREAD_GRAYSCALE)
+        if photo is None:
+            raise FileNotFoundError(f"texture not found: {texture_path}")
         photo = cv2.resize(photo, (1024, 1024)).astype(np.float32) / 255.0
         tex = photo
         tex2 = np.rot90(photo).copy()
