@@ -144,6 +144,7 @@ def pm_score_rect(
     window_radius: int = 3,
     interpret: bool = False,
     nbr_left_ctx: int = 0,
+    strip_width: int = 1024,
 ) -> jax.Array:
     """Score C disparity candidate maps -> costs (C, H, W).
 
@@ -154,13 +155,13 @@ def pm_score_rect(
     (strip mode); they land inside the disparity pad region."""
     c, h, w = cands.shape
     r = window_radius
-    if w > 1024:
+    if w > strip_width:
         # score in overlapping x-strips: each strip carries `ov` columns of
         # context on both sides (discarded after scoring) so window taps and
         # left-of-strip disparity sources are exact; propagation in the
         # caller stays full-width, strips only localize the scoring.
-        step = 1024 - 2 * 128
         ov = 128  # >= r; keeps strip widths lane-aligned
+        step = max(strip_width - 2 * ov, 128)
         strips = []
         for x0 in range(0, w, step):
             x1 = min(x0 + step, w)
@@ -176,6 +177,7 @@ def pm_score_rect(
                 maxd=maxd,
                 window_radius=r, interpret=interpret,
                 nbr_left_ctx=a - lo,
+                strip_width=max(strip_width, bnd - a),
             )
             strips.append(sc[:, :, x0 - a : x0 - a + (x1 - x0)])
         return jnp.concatenate(strips, axis=2)

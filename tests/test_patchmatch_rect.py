@@ -78,6 +78,99 @@ def test_pm_score_rect_matches_numpy(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_pm_score_strips_match_unstripped(rng):
+    """The x-strip path (wide images) must agree exactly with unstripped
+    scoring away from... everywhere: strips carry ov=128 columns of
+    context so kept windows never see a strip boundary."""
+    from sfm_mvs_pipeline_tpu.mvs.plane_sweep import _box_filter
+    from sfm_mvs_pipeline_tpu.ops.pallas.pm_kernel import pm_score_rect
+
+    h, w, r = 12, 640, 2
+    area = (2 * r + 1) ** 2
+    ref = rng.random((h, w)).astype(np.float32)
+    nbr = rng.random((h, w)).astype(np.float32)
+    in_n = np.ones((h, w), bool)
+    cands = (rng.random((2, h, w)) * 60).astype(np.float32)
+    r_sum = np.asarray(_box_filter(jnp.asarray(ref), r))
+    r_sq = np.asarray(_box_filter(jnp.asarray(ref * ref), r))
+    r_mean = r_sum / area
+    r_var = np.maximum(r_sq / area - r_mean * r_mean, 1e-8)
+
+    args = (
+        jnp.asarray(cands), jnp.asarray(ref), jnp.asarray(nbr),
+        jnp.asarray(in_n), jnp.asarray(r_mean), jnp.asarray(r_var),
+    )
+    whole = np.asarray(
+        pm_score_rect(*args, maxd=128, window_radius=r, interpret=True)
+    )
+    striped = np.asarray(
+        pm_score_rect(
+            *args, maxd=128, window_radius=r, interpret=True,
+            strip_width=384,
+        )
+    )
+    np.testing.assert_array_equal(striped, whole)
+
+
+def test_pairs_fused_matches_sequential(rng):
+    """The batched fused pair program (essential -> cheirality ->
+    triangulation in one dispatch) must equal the sequential per-pair
+    jits given the same RANSAC key."""
+    from sfm_mvs_pipeline_tpu.sfm.incremental import (
+        _pair_pose_jit,
+        _pairs_fused_jit,
+        _triangulate_pair_jit,
+    )
+
+    F = 64
+    # synthetic two-view geometry: points in front of both cameras
+    X = rng.random((F, 3)) * 4 + np.array([0, 0, 6.0])
+    f = 100.0
+    intr = jnp.asarray([f, 40.0, 30.0, 0, 0, 0, 0], jnp.float64)
+    pose_a = np.zeros(6)
+    pose_b = np.zeros(6)
+    pose_b[3] = -1.0  # baseline
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
+
+    def project(pose, X):
+        R = aa_to_rotmat_np(pose[:3])
+        Xc = X @ R.T + pose[3:]
+        return (Xc[:, :2] / Xc[:, 2:]) * f + np.array([40.0, 30.0])
+
+    kp_a = project(pose_a, X)
+    kp_b = project(pose_b, X)
+    idx = np.arange(F, dtype=np.int32)
+    mask = np.ones(F, bool)
+    key = jax.random.key(3)
+
+    pose_s, em_s = _pair_pose_jit(
+        jnp.asarray(kp_a), jnp.asarray(kp_b), jnp.asarray(idx),
+        jnp.asarray(mask), intr, intr, 2.0, key,
+    )
+    pts_s, keep_s = _triangulate_pair_jit(
+        jnp.asarray(pose_a), jnp.asarray(pose_b), intr, intr,
+        jnp.asarray(kp_a), jnp.asarray(kp_b), jnp.asarray(idx),
+        em_s, 10.0,
+    )
+    pose_f, em_f, pts_f, keep_f, n_inl = _pairs_fused_jit(
+        jnp.asarray(kp_a)[None], jnp.asarray(kp_b)[None],
+        jnp.asarray(idx)[None], jnp.asarray(mask)[None],
+        intr[None], intr[None],
+        jnp.asarray(pose_a)[None], jnp.asarray(pose_b)[None],
+        2.0, 10.0, key[None], False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pose_f[0]), np.asarray(pose_s), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(em_f[0]), np.asarray(em_s))
+    np.testing.assert_array_equal(np.asarray(keep_f[0]), np.asarray(keep_s))
+    np.testing.assert_allclose(
+        np.asarray(pts_f[0])[np.asarray(keep_s)],
+        np.asarray(pts_s)[np.asarray(keep_s)], atol=1e-5,
+    )
+    assert int(n_inl[0]) == int(np.asarray(em_s).sum())
+
+
 def test_pm_rect_pair_recovers_shift(rng):
     """A laterally-shifted constant-disparity pair: PatchMatch must recover
     the planar depth (identity rotation -> the rectified frame is the
