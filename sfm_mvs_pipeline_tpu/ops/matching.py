@@ -177,13 +177,22 @@ def match_pair(
     relative dot error instead of the default bf16 ~1.3e-3, at 3x the MXU
     cost — see ops/pallas/match_kernel.py).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if method == "flann" and backend == "pallas":
+        # r5: on TPU the EXACT Pallas kernel beats any shortlist scheme —
+        # brute force is MXU-optimal (measured: the projection+shortlist
+        # path costs 23.5 ms/pair at F=8192 vs 0.145 ms exact; lax.top_k
+        # over the low-dim distance matrix dominates). The reference's
+        # FLANN option trades accuracy for speed; here the exact kernel
+        # is both (recall is trivially 1.0). two_nn_approx remains the
+        # off-TPU approximate path.
+        method = "bf"
     if method == "flann":
         best_idx, best_sq, second_sq = two_nn_approx(
             desc_q, desc_t, valid_q, valid_t
         )
     else:
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         if backend == "pallas":
             from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import two_nn_pallas
 
@@ -237,6 +246,9 @@ def match_pairs_batch(
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if method == "flann" and backend == "pallas":
+        method = "bf"  # exact kernel beats the shortlist on TPU (see
+        # match_pair) — the approx path remains for off-TPU backends
 
     if backend == "pallas" and method == "bf" and not exact:
         from sfm_mvs_pipeline_tpu.ops.pallas.match_kernel import (

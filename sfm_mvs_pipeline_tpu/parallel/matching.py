@@ -38,6 +38,8 @@ def _sharded_matcher(
     the lru cache makes repeat calls pay only dispatch."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if method == "flann" and backend == "pallas":
+        method = "bf"  # exact kernel beats the shortlist on TPU
     fast = backend == "pallas" and method == "bf" and not exact
 
     out_specs = tuple([P(DATA_AXIS)] * (3 if with_distance else 2))
