@@ -176,9 +176,22 @@ class Scene:
             )
         pids = np.concatenate(pids)
         fids = np.concatenate(fids)
-        # distinct (point, feature) pairs
-        key = pids.astype(np.int64) * self.keypoints.shape[1] + fids
-        _, uniq = np.unique(key, return_index=True)
+        # distinct (3D point, 2D PIXEL) pairs — the reference dedupes on
+        # the pixel coordinate (Scene.cpp:264-278), not the feature index:
+        # orientation-duplicate keypoints (r5, cv2-parity secondary
+        # orientations) share a pixel and must contribute ONE
+        # correspondence, else PnP minimal sets draw rank-deficient
+        # duplicate 3D points
+        uv = self.keypoints[shot, fids]
+        rows = np.empty(
+            len(pids),
+            dtype=[("p", np.int64), ("x", np.float32), ("y", np.float32)],
+        )
+        rows["p"] = pids
+        rows["x"] = uv[:, 0]
+        rows["y"] = uv[:, 1]
+        _, uniq = np.unique(rows, return_index=True)
+        uniq = np.sort(uniq)
         pids, fids = pids[uniq], fids[uniq]
         return pids, fids, self.keypoints[shot, fids]
 

@@ -305,15 +305,34 @@ def _keypoint_orientation(samp, x, y, sigma_rel, dtype):
     histp = jnp.concatenate([hist[:, -2:], hist, hist[:, :2]], axis=1)
     hist = jax.vmap(lambda hrow: jnp.convolve(hrow, kern, mode="valid"))(histp)
 
+    def refine_angle(peak):
+        # parabolic interpolation around a histogram peak
+        hp = hist[jnp.arange(hist.shape[0]), (peak - 1) % _N_ORI_BINS]
+        hc = hist[jnp.arange(hist.shape[0]), peak]
+        hn = hist[jnp.arange(hist.shape[0]), (peak + 1) % _N_ORI_BINS]
+        denom = hp - 2 * hc + hn
+        delta = jnp.where(
+            jnp.abs(denom) > 1e-12, 0.5 * (hp - hn) / denom, 0.0
+        )
+        ang_bin = peak.astype(dtype) + jnp.clip(delta, -0.5, 0.5)
+        return (ang_bin / _N_ORI_BINS) * 2 * jnp.pi
+
     peak = jnp.argmax(hist, axis=1)
-    # parabolic interpolation around the peak
-    hp = hist[jnp.arange(hist.shape[0]), (peak - 1) % _N_ORI_BINS]
-    hc = hist[jnp.arange(hist.shape[0]), peak]
-    hn = hist[jnp.arange(hist.shape[0]), (peak + 1) % _N_ORI_BINS]
-    denom = hp - 2 * hc + hn
-    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hp - hn) / denom, 0.0)
-    ang_bin = peak.astype(dtype) + jnp.clip(delta, -0.5, 0.5)
-    return (ang_bin / _N_ORI_BINS) * 2 * jnp.pi
+    hmax = jnp.max(hist, axis=1)
+    # SECONDARY orientation (r5, OpenCV parity): every local histogram
+    # maximum >= 0.8 * peak becomes an additional keypoint at the same
+    # location (ref behavior via cv::SIFT; the strongest such secondary is
+    # kept — fixed shapes cap the duplication at 2 orientations/candidate)
+    left = jnp.roll(hist, 1, axis=1)
+    right = jnp.roll(hist, -1, axis=1)
+    bins_i = jnp.arange(_N_ORI_BINS)[None, :]
+    is_peak = (hist > left) & (hist >= right) & (bins_i != peak[:, None])
+    sec_score = jnp.where(
+        is_peak & (hist >= 0.8 * hmax[:, None]), hist, -1.0
+    )
+    peak2 = jnp.argmax(sec_score, axis=1)
+    has2 = jnp.max(sec_score, axis=1) > 0
+    return refine_angle(peak), refine_angle(peak2), has2
 
 
 def _keypoint_descriptor(samp, x, y, sigma_rel, angle, dtype):
@@ -461,7 +480,9 @@ def _sift_describe_octave(G, cand_k, octave: int):
         def samp(sx, sy):
             return _bilinear(Gi, sx, sy, li[:, None])
 
-        ang = _keypoint_orientation(samp, xi, yi, sri, Gi.dtype)
+        ang, _ang2, _has2 = _keypoint_orientation(
+            samp, xi, yi, sri, Gi.dtype
+        )
         descs = _keypoint_descriptor(samp, xi, yi, sri, ang, Gi.dtype)
         return ang, descs
 
@@ -518,9 +539,10 @@ def _sift_describe_flat(flat, xs, ys, lvl, sig, base, h_o, w_o):
                 + at(y0i + 1, x0i + 1) * fx * fy
             )
 
-        ang = _keypoint_orientation(samp, x, y, sri, fi.dtype)
+        ang, ang2, has2 = _keypoint_orientation(samp, x, y, sri, fi.dtype)
         descs = _keypoint_descriptor(samp, x, y, sri, ang, fi.dtype)
-        return ang, descs
+        descs2 = _keypoint_descriptor(samp, x, y, sri, ang2, fi.dtype)
+        return ang, descs, ang2, descs2, has2
 
     return jax.vmap(per_image)(flat, xs, ys, lvl, sig, base, h_o, w_o)
 
@@ -583,35 +605,69 @@ def sift_features(
     xs = jnp.where(valid_k, cand_k["x"], 16.0)
     ys = jnp.where(valid_k, cand_k["y"], 16.0)
     lvl_k = jnp.clip(cand_k["layer"], 0, nlev - 1)
-    ang_k, desc_k = _sift_describe_flat(
+    ang_k, desc_k, ang2_k, desc2_k, has2_k = _sift_describe_flat(
         flat, xs, ys, lvl_k, cand_k["sigma_rel"],
         off_tab[oct_k], h_tab[oct_k], w_tab[oct_k],
     )
-    angle = (
-        jnp.zeros((b, F), images.dtype)
-        .at[:, :k_sel]
-        .set(jnp.where(valid_k, ang_k, 0.0))
-    )
-    descs = (
-        jnp.zeros((b, F, 128), images.dtype)
-        .at[:, :k_sel]
-        .set(jnp.where(valid_k[..., None], desc_k, 0.0))
-    )
 
-    # map octave-local coords back to original image space
-    scale_f = (2.0 ** cand["octave"].astype(images.dtype)) / (
+    # r5 (OpenCV parity): secondary orientation peaks >= 0.8 * max emit a
+    # SECOND keypoint at the same location (cv::SIFT duplicates these;
+    # they were most of the r3-r4 ~15% count gap vs cv2 and cost match
+    # recall). Pool primaries + secondaries, then fill the F capacity by
+    # response like the reference's retainBest.
+    scale_k = (2.0 ** cand_k["octave"].astype(images.dtype)) / (
         2.0 if upsample else 1.0
     )
-    keypoints = jnp.stack([cand["x"], cand["y"]], -1) * scale_f[..., None]
-    valid = cand["valid"]
-    valid = valid & (
-        jnp.arange(F)[None, :] < k_sel
-    )  # safety: nothing beyond the described slice
+    kp_k = jnp.stack([cand_k["x"], cand_k["y"]], -1) * scale_k[..., None]
+    valid2 = valid_k & has2_k
+
+    def pool(a, b2):
+        return jnp.concatenate([a, b2], axis=1)
+
+    p_kp = pool(kp_k, kp_k)
+    p_scale = pool(cand_k["sigma_rel"] * scale_k, cand_k["sigma_rel"] * scale_k)
+    p_resp = pool(cand_k["response"], cand_k["response"])
+    p_ang = pool(jnp.where(valid_k, ang_k, 0.0), jnp.where(valid2, ang2_k, 0.0))
+    p_desc = pool(
+        jnp.where(valid_k[..., None], desc_k, 0.0),
+        jnp.where(valid2[..., None], desc2_k, 0.0),
+    )
+    p_valid = pool(valid_k, valid2)
+
+    def place(x, fill=0.0):
+        """Fit the pooled (B, 2*k_sel, ...) arrays into the F capacity."""
+        if 2 * k_sel <= F:
+            shape = (b, F) + x.shape[2:]
+            return jnp.zeros(shape, x.dtype).at[:, : 2 * k_sel].set(x)
+        return x  # handled by the top-F gather below
+
+    if 2 * k_sel <= F:
+        keypoints = place(p_kp)
+        scale = place(p_scale)
+        angle = place(p_ang)
+        response = place(p_resp)
+        descs = place(p_desc)
+        valid = place(p_valid)
+    else:
+        # top-F by response among valid pooled slots (reference retainBest
+        # counts orientation duplicates toward the feature limit too)
+        score = jnp.where(p_valid, p_resp, -1.0)
+        _, sel = jax.lax.top_k(score, F)  # (B, F)
+        take = lambda x: jnp.take_along_axis(
+            x, sel.reshape(sel.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+        keypoints = take(p_kp)
+        scale = take(p_scale)
+        angle = take(p_ang)
+        response = take(p_resp)
+        descs = take(p_desc)
+        valid = jnp.take_along_axis(p_valid, sel, axis=1)
+
     return {
         "keypoints": keypoints,
-        "scale": cand["sigma_rel"] * scale_f,
+        "scale": scale,
         "angle": angle,
-        "response": cand["response"],
+        "response": response,
         "valid": valid,
         "descriptors": descs,
     }
