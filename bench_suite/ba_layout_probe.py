@@ -11,7 +11,14 @@ stage costs come from bench_suite/ba_build_bisect.py, whose stages are
 nonlinear in the perturbed points. ***
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import os

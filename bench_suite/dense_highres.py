@@ -10,7 +10,14 @@ Memory notes at 3200x1800, N=5, 96 levels: per-pair cost volume 2.2 GB f32
 after the r4 rewrite (was ~2.3 GB with the (N, N, H, W) broadcast).
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import os

@@ -20,7 +20,14 @@ honest stand-in for the unbuildable reference binary.
 Writes JSON to stdout (and /tmp/headtohead.json).
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import os

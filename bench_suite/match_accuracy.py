@@ -9,7 +9,14 @@ on the host. Reports, for fast (bf16) and exact (3-term split) modes:
   * relative error of best/second distances
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import os

@@ -18,7 +18,14 @@ MXU-operand and VPU-merge formulations:
 Writes JSON to stdout; run with no other TPU client active.
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import functools
 import json

@@ -13,7 +13,14 @@ here:
               and merges immediately (no (TQ,TT) score tile).
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import functools
 import json

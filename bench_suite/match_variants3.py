@@ -9,7 +9,14 @@ compute is nearly free. Hypotheses:
                   (grid (N, i, j)); reports ms per pair.
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import os

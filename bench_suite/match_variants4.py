@@ -7,7 +7,14 @@ t_iter = (T(n2) - T(n1)) / (n2 - n1), all work on-device and chained.
 Re-measures the serious kernel candidates and the hardware floors.
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import os

@@ -12,7 +12,14 @@ All variants use the proven 2D-grid + VMEM-scratch accumulator structure
                                   broadcast add: VPU-merge floor, no MXU
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import json
 import os

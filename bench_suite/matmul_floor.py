@@ -7,6 +7,12 @@ framework forces an explicit matmul precision everywhere (see README
 fallback on this chip vs ~420 TFLOP/s with any explicit precision).
 Not part of bench.py or the test suite; run directly: python bench_suite/matmul_floor.py
 """
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time, numpy as np, jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -31,7 +31,7 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
-def main():
+def run_n_views(n_views: int) -> None:
     from sfm_mvs_pipeline_tpu.cli.app import main as cli_main
     from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
     from sfm_mvs_pipeline_tpu.utils.checkpoint import load_scene
@@ -42,13 +42,13 @@ def main():
     )
     from sfm_mvs_pipeline_tpu.utils.synth import render_views
 
-    base = tempfile.mkdtemp(prefix="realtex_")
+    base = tempfile.mkdtemp(prefix=f"realtex{n_views}_")
     data = os.path.join(base, "views")
     paths, gt_R, gt_C = render_views(
-        data, n_views=8, h=300, w=400, f=350.0,
+        data, n_views=n_views, h=300, w=400, f=350.0,
         texture_path="/root/reference/images/insel/1.jpg",
     )
-    print(f"rendered 8 real-texture views into {data}", flush=True)
+    print(f"rendered {n_views} real-texture views into {data}", flush=True)
 
     out = os.path.join(base, "out")
     t0 = time.perf_counter()
@@ -67,7 +67,7 @@ def main():
     cmp_t = trajectory_compare(est_C, est_R, gt_C[rec], gt_R[rec])
     ext = np.linalg.norm(gt_C[rec][-1] - gt_C[rec][0])
     print(
-        f"TPU pipeline: rc={rc} {len(rec)}/8 views, {t_tpu:.1f}s, "
+        f"TPU pipeline: rc={rc} {len(rec)}/{n_views} views, {t_tpu:.1f}s, "
         f"ATE {cmp_t['ate_rmse']/ext*100:.3f}% of extent, "
         f"max rel rot {cmp_t['max_rel_rot_deg']:.3f} deg",
         flush=True,
@@ -78,7 +78,12 @@ def main():
     t0 = time.perf_counter()
     orc = oracle_reconstruct(
         paths, OracleConfig(feature_limit=800),
-        pairs=[(a, b) for a in range(8) for b in (a + 1, a + 2) if b < 8],
+        pairs=[
+            (a, b)
+            for a in range(n_views)
+            for b in (a + 1, a + 2)
+            if b < n_views
+        ],
     )
     t_orc = time.perf_counter() - t0
     orc_rec = sorted(int(s) for s in orc["recovered"])
@@ -89,11 +94,21 @@ def main():
     cmp_o = trajectory_compare(oC, oR, gt_C[rec_o], gt_R[rec_o])
     ext_o = np.linalg.norm(gt_C[rec_o][-1] - gt_C[rec_o][0])
     print(
-        f"oracle (reference stack): {len(rec_o)}/8 views, {t_orc:.1f}s, "
-        f"ATE {cmp_o['ate_rmse']/ext_o*100:.3f}% of extent, "
+        f"oracle (reference stack): {len(rec_o)}/{n_views} views, "
+        f"{t_orc:.1f}s, ATE {cmp_o['ate_rmse']/ext_o*100:.3f}% of extent, "
         f"max rel rot {cmp_o['max_rel_rot_deg']:.3f} deg",
         flush=True,
     )
+
+
+def main():
+    # 8 views: the baseline real-radiometry probe. 16 views: the track
+    # sweeps into the photo's texture-POOR sky region (~40-90 features/
+    # view, quasi-planar visible scene) — the joint planar-degeneracy +
+    # feature-starvation regime that motivated the E-vs-H model
+    # selection, planar PnP family, and PnP-inlier registration.
+    for n in (8, 16):
+        run_n_views(n)
 
 
 if __name__ == "__main__":

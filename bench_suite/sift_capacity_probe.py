@@ -12,7 +12,14 @@ Usage: python bench_suite/sift_capacity_probe.py [stage] [cap]
 With no args: orchestrates all stages x caps {8192, 16384, 32768} serially.
 """
 
+
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import os
 import subprocess

@@ -50,6 +50,51 @@ def _dlt_pnp(X: jax.Array, xy: jax.Array) -> jax.Array:
     return jnp.concatenate([rotmat_to_aa(R), t])
 
 
+def _planar_pnp(X: jax.Array, xy: jax.Array) -> jax.Array:
+    """4-point plane-homography pose (IPPE-style): both sign branches.
+
+    The 6-point DLT is DEGENERATE when the 3D points are coplanar (the
+    12-dof projective system loses rank) — exactly the quasi-planar maps
+    of the low-texture boundary regime, where cv2's EPnP (with its planar
+    special case) keeps registering views while the DLT emits garbage.
+    This solver is exact for planar samples: express the sample in an
+    in-plane frame, fit the plane→image homography H ~ [R·b1 R·b2 R·c+t],
+    read the pose off its columns, and orthonormalize. Returns (2, 6)
+    poses — the homography's sign ambiguity gives two candidates; RANSAC
+    scoring (behind-camera → inf residual) kills the wrong one.
+
+    X (M,3) world points, xy (M,2) normalized image coords.
+    """
+    from sfm_mvs_pipeline_tpu.ops.homography import _dlt_h
+
+    c = jnp.mean(X, axis=0)
+    A = X - c
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    b1, b2 = Vt[0], Vt[1]
+    n = jnp.cross(b1, b2)  # right-handed: (R b1)x(R b2) = R n
+    En = jnp.stack([b1, b2, n], axis=1)  # (3,3) plane frame
+    uv = A @ En[:, :2]  # in-plane coordinates
+    H = _dlt_h(uv, xy)
+    s = 2.0 / jnp.maximum(
+        jnp.linalg.norm(H[:, 0]) + jnp.linalg.norm(H[:, 1]), 1e-12
+    )
+
+    def pose_from(Hs):
+        r1, r2 = Hs[:, 0], Hs[:, 1]
+        M = jnp.stack([r1, r2, jnp.cross(r1, r2)], axis=1)
+        U, _, Vt2 = jnp.linalg.svd(M)
+        det = jnp.linalg.det(U @ Vt2)
+        D = jnp.diag(jnp.array([1.0, 1.0, 0.0], Hs.dtype)) + jnp.diag(
+            jnp.array([0.0, 0.0, 1.0], Hs.dtype)
+        ) * det
+        R0 = U @ D @ Vt2  # ≈ R·[b1 b2 n]
+        R = R0 @ En.T
+        t = Hs[:, 2] - R @ c
+        return jnp.concatenate([rotmat_to_aa(R), t])
+
+    return jnp.stack([pose_from(s * H), pose_from(-s * H)])
+
+
 def _reproj_residuals_px(pose, intr, X, uv):
     uv_hat, z = project_points(pose, intr, X)
     r = jnp.linalg.norm(uv_hat - uv, axis=-1)
@@ -74,8 +119,16 @@ def solve_pnp_ransac(
     compares against `-Ppose-inlier-ratio-threshold` (SfM.cpp:481-484).
     """
     xy = undistort_points(intr, uv)
-    idx = sample_valid_indices(key, valid, k_hyp, 6)
-    poses = jax.vmap(lambda s: _dlt_pnp(X[s], xy[s]))(idx)  # (K, 6)
+    k_dlt = k_hyp // 2
+    k_pl = (k_hyp - k_dlt) // 2  # planar samples emit 2 poses each
+    key_d, key_p = jax.random.split(key)
+    idx = sample_valid_indices(key_d, valid, k_dlt, 6)
+    poses_dlt = jax.vmap(lambda s: _dlt_pnp(X[s], xy[s]))(idx)  # (K/2, 6)
+    # planar hypothesis family: exact for coplanar maps where the DLT
+    # is degenerate (see _planar_pnp)
+    idx4 = sample_valid_indices(key_p, valid, k_pl, 4)
+    poses_pl = jax.vmap(lambda s: _planar_pnp(X[s], xy[s]))(idx4)
+    poses = jnp.concatenate([poses_dlt, poses_pl.reshape(-1, 6)])
     res = jax.vmap(lambda p: _reproj_residuals_px(p, intr, X, uv))(poses)
     pose, mask, count = select_best(poses, res, valid, thresh_px)
 

@@ -27,8 +27,16 @@ import numpy as np
 from sfm_mvs_pipeline_tpu.models.cameras import CAMERA_MODELS
 from sfm_mvs_pipeline_tpu.models.scene import Scene
 from sfm_mvs_pipeline_tpu.ops import matching as M
-from sfm_mvs_pipeline_tpu.ops.epipolar import find_essential_ransac, recover_pose
-from sfm_mvs_pipeline_tpu.ops.homography import homography_inlier_ratio
+from sfm_mvs_pipeline_tpu.ops.epipolar import (
+    find_essential_ransac,
+    recover_pose,
+    recover_pose_from_homography,
+    two_view_model_scores,
+)
+from sfm_mvs_pipeline_tpu.ops.homography import (
+    find_homography_ransac,
+    homography_inlier_ratio,
+)
 from sfm_mvs_pipeline_tpu.ops.pnp import solve_pnp_ransac
 from sfm_mvs_pipeline_tpu.ops.pose import compose_pose
 from sfm_mvs_pipeline_tpu.ops.triangulate import triangulate_pair
@@ -73,9 +81,38 @@ def _resolve_thresh(param: float, max_dim: float) -> float:
 
 
 # ------------------------------------------------------------ jitted helpers
+def _dual_model_pose(key, xy1, xy2, mask, thresh_norm):
+    """Relative pose by E-vs-H model selection.
+
+    The 8-point essential solver is DEGENERATE for coplanar scenes — any
+    E = [v]ₓH fits planar correspondences exactly, so neither RANSAC
+    support nor triangulated reprojection error can detect the failure
+    (the wrong E reconstructs a wrong-but-photoconsistent two-view
+    geometry). The reference is immune because cv::findEssentialMat is
+    Nistér's 5-point (SfM.cpp:525). TPU-side we recover the robustness
+    ORB-SLAM-style: fit BOTH an essential matrix and a calibrated
+    homography, score each as an image-to-image model
+    (two_view_model_scores), and take the homography's Faugeras
+    decomposition when S_H/(S_H+S_E) > 0.45 — the planar / low-parallax
+    regime where E earned no advantage.
+
+    Returns (pose_e, em2, pose_h, hm2, use_h)."""
+    k_e, k_h = jax.random.split(key)
+    E, em, _ = find_essential_ransac(k_e, xy1, xy2, mask, thresh_norm)
+    pose_e, em2 = recover_pose(E, xy1, xy2, em)
+    H, hm, _ = find_homography_ransac(k_h, xy1, xy2, mask, thresh_norm)
+    pose_h, hm2 = recover_pose_from_homography(
+        H, xy1, xy2, hm, mask, thresh_norm
+    )
+    se, sh = two_view_model_scores(E, H, xy1, xy2, mask, thresh_norm)
+    use_h = sh / jnp.maximum(sh + se, 1e-18) > 0.45
+    return pose_e, em2, pose_h, hm2, use_h
+
+
 @partial(jax.jit, static_argnames=())
 def _pair_pose_jit(kp_a, kp_b, idx, mask, intr_a, intr_b, thresh_px, key):
-    """Relative pose of pair via essential RANSAC + cheirality.
+    """Relative pose of pair via E-vs-H model selection
+    (see _dual_model_pose).
 
     Returns (pose6 rel, inlier_mask (F,))."""
     uv1 = kp_a
@@ -83,9 +120,11 @@ def _pair_pose_jit(kp_a, kp_b, idx, mask, intr_a, intr_b, thresh_px, key):
     xy1 = undistort_points(intr_a, uv1)
     xy2 = undistort_points(intr_b, uv2)
     f = intr_a[0]
-    E, em, _ = find_essential_ransac(key, xy1, xy2, mask, thresh_px / f)
-    pose, em2 = recover_pose(E, xy1, xy2, em)
-    return pose, em2
+    pose_e, em2, pose_h, hm2, use_h = _dual_model_pose(
+        key, xy1, xy2, mask, thresh_px / f
+    )
+    pose = jnp.where(use_h, pose_h, pose_e)
+    return pose, jnp.where(use_h, hm2, em2)
 
 
 @partial(jax.jit, static_argnames=())
@@ -123,8 +162,11 @@ def _pairs_fused_jit(
         xy1 = undistort_points(intr_a, uv1)
         xy2 = undistort_points(intr_b, uv2)
         f = intr_a[0]
-        E, em, _ = find_essential_ransac(key, xy1, xy2, mask, thresh_px / f)
-        pose_rel, em2 = recover_pose(E, xy1, xy2, em)
+        pose_e, em2, pose_h, hm2, use_h = _dual_model_pose(
+            key, xy1, xy2, mask, thresh_px / f
+        )
+        pose_rel = jnp.where(use_h, pose_h, pose_e)
+        em_out = jnp.where(use_h, hm2, em2)
         if use_rel:
             pa = jnp.zeros(6, kp_a.dtype)
             pb = pose_rel
@@ -133,9 +175,9 @@ def _pairs_fused_jit(
             pb = pose_b
         pts, keep, _errs = triangulate_pair(
             pa, pb, intr_a, intr_b, uv1, uv2,
-            valid=em2, max_reprojection_error=max_err,
+            valid=em_out, max_reprojection_error=max_err,
         )
-        return pose_rel, em2, pts, keep, jnp.sum(em2)
+        return pose_rel, em_out, pts, keep, jnp.sum(em_out)
 
     return jax.vmap(one)(
         kp_a, kp_b, idx, mask, intr_a, intr_b, pose_a, pose_b, keys
@@ -610,6 +652,32 @@ def reconstruct(
         scene.poses[s] = np.asarray(pose)
         scene.recovered[s] = True
         stats["views"] += 1
+
+        # register the PnP INLIER correspondences as observations of the
+        # new view. The reference reaches the same links indirectly (each
+        # adjoining pair's triangulations merge into existing tracks by
+        # shared feature, Scene.cpp:470-561), but in feature-starved
+        # regimes the adjoining pairs can fall under the 20-match floor
+        # and contribute almost nothing — observed as views entering BA
+        # with ~3 observations (a 6-dof pose on 6 residuals), whose junk
+        # poses then corrupt the map. The PnP inliers are exactly the
+        # verified links; record them (one per feature, untracked, live
+        # point) so BA actually constrains the new pose.
+        inl_np = np.asarray(inl)[:npts]
+        sel = np.nonzero(inl_np)[0]
+        if len(sel):
+            p_sel = np.asarray(pids)[sel]
+            f_sel = np.asarray(fids)[sel]
+            f_sel, first = np.unique(f_sel, return_index=True)
+            p_sel = p_sel[first]
+            ok = scene.point_valid[p_sel] & (
+                scene.point_of_feat[s, f_sel] < 0
+            )
+            if ok.any():
+                scene.add_observations(
+                    p_sel[ok], np.full(int(ok.sum()), s), f_sel[ok],
+                    scene.keypoints[s, f_sel[ok]],
+                )
 
         # process adjoining recovered pairs (ref: SfM.cpp:333-371) —
         # all of them in ONE fused dispatch (r5)

@@ -22,8 +22,15 @@ def render_views(
     f: float = 280.0,
     seed: int = 11,
     texture_path: str | None = None,
+    planar: bool = False,
 ):
     """Render n_views JPEGs of a textured two-plane scene into out_dir.
+
+    planar=True drops the foreground disc, leaving a SINGLE plane — the
+    degenerate regime for 8-point essential estimation (and for DLT PnP
+    against the resulting coplanar map), used to regression-test the
+    E-vs-H model selection + planar PnP family (ops/epipolar.py,
+    ops/pnp.py).
 
     Cameras yaw by 0.05 rad/view around a lateral track (the geometry the
     incremental SfM + BA stack must recover). Returns (paths, gt_R (V,3,3)
@@ -67,7 +74,12 @@ def render_views(
             -1,
         ) @ R  # world-frame rays of camera v (R is world->cam, rows = axes)
         img = np.zeros((h, w), np.float32)
-        for z, t, scale in ((10.0, tex, 55.0), (7.0, tex2, 75.0)):
+        layers = (
+            ((10.0, tex, 55.0),)
+            if planar
+            else ((10.0, tex, 55.0), (7.0, tex2, 75.0))
+        )
+        for z, t, scale in layers:
             s = (z - C[2]) / d[..., 2]
             Xw = C[None, None] + s[..., None] * d
             u = ((Xw[..., 0] * scale) % 1024).astype(int) % 1024

@@ -91,6 +91,76 @@ def test_essential_and_recover_pose(rng):
     ) < 0.05
 
 
+def _planar_two_view_scene(rng, n=150):
+    """Points on ONE plane — the 8-point essential degeneracy regime
+    (the regime of the 16-view low-texture boundary: the photo plane
+    fills the view)."""
+    f, cx, cy = 400.0, 200.0, 150.0
+    xy = rng.uniform(-2, 2, size=(n, 2))
+    pts = np.column_stack([xy[:, 0], xy[:, 1], np.full(n, 8.0)])
+    R = cv2.Rodrigues(np.array([0.03, 0.2, -0.01]))[0]
+    t = np.array([1.5, 0.1, 0.05])
+    uv1 = pts[:, :2] / pts[:, 2:3] * f + [cx, cy]
+    pc2 = pts @ R.T + t
+    uv2 = pc2[:, :2] / pc2[:, 2:3] * f + [cx, cy]
+    uv1 += rng.normal(size=(n, 2)) * 0.2
+    uv2 += rng.normal(size=(n, 2)) * 0.2
+    return pts, R, t / np.linalg.norm(t), uv1, uv2, (f, cx, cy)
+
+
+def test_decompose_homography_recovers_planar_pose(rng):
+    """Faugeras decomposition + cheirality must recover the true motion
+    from a calibrated homography of a planar scene."""
+    from sfm_mvs_pipeline_tpu.ops.epipolar import recover_pose_from_homography
+
+    pts, R_true, t_true, uv1, uv2, (f, cx, cy) = _planar_two_view_scene(rng)
+    xy1 = (uv1 - [cx, cy]) / f
+    xy2 = (uv2 - [cx, cy]) / f
+    valid = np.ones(len(uv1), bool)
+    H, hmask, _ = find_homography_ransac(
+        jax.random.key(5), jnp.asarray(xy1), jnp.asarray(xy2),
+        jnp.asarray(valid), 2.0 / f,
+    )
+    assert int(np.asarray(hmask).sum()) > 120  # planar: near-full support
+    pose, mask2 = recover_pose_from_homography(
+        H, jnp.asarray(xy1), jnp.asarray(xy2), hmask,
+        jnp.asarray(valid), 2.0 / f,
+    )
+    R_est = np.asarray(aa_to_rotmat(pose[:3]))
+    t_est = np.asarray(pose[3:])
+    cos = (np.trace(R_est @ R_true.T) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 1.0
+    tdir = t_est / np.linalg.norm(t_est)
+    assert min(
+        np.linalg.norm(tdir - t_true), np.linalg.norm(tdir + t_true)
+    ) < 0.05
+
+
+def test_planar_pair_pose_model_selection(rng):
+    """The driver's E-vs-H model selection must survive the planar scene
+    that breaks the 8-point essential path (any E = [v]x H fits coplanar
+    points exactly, so RANSAC support cannot flag the failure)."""
+    from sfm_mvs_pipeline_tpu.sfm.incremental import _pair_pose_jit
+
+    pts, R_true, t_true, uv1, uv2, (f, cx, cy) = _planar_two_view_scene(rng)
+    n = len(uv1)
+    intr = jnp.asarray([f, cx, cy, 0, 0, 0, 0], jnp.float64)
+    idx = np.arange(n, dtype=np.int32)
+    pose, em = _pair_pose_jit(
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(idx),
+        jnp.ones(n, bool), intr, intr, 2.0, jax.random.key(7),
+    )
+    R_est = np.asarray(aa_to_rotmat(pose[:3]))
+    t_est = np.asarray(pose[3:])
+    cos = (np.trace(R_est @ R_true.T) - 1) / 2
+    assert np.degrees(np.arccos(np.clip(cos, -1, 1))) < 1.5
+    tdir = t_est / np.linalg.norm(t_est)
+    assert min(
+        np.linalg.norm(tdir - t_true), np.linalg.norm(tdir + t_true)
+    ) < 0.08
+    assert int(np.asarray(em).sum()) > 100
+
+
 def test_sampson_zero_for_perfect_points(rng):
     pts, R, t, uv1, uv2, (f, cx, cy) = _two_view_scene(rng, outliers=0)
     tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
@@ -99,6 +169,33 @@ def test_sampson_zero_for_perfect_points(rng):
     xy2 = (uv2 - [cx, cy]) / f
     err = np.asarray(sampson_error(jnp.asarray(E), jnp.asarray(xy1), jnp.asarray(xy2)))
     assert np.median(err) < 2.0 / f  # noise-level
+
+
+def test_pnp_ransac_planar_map(rng):
+    """PnP must register a view against a COPLANAR 3D map (6-point DLT
+    alone is rank-deficient there; the planar 4-point homography family
+    carries it — the regime of the quasi-planar low-texture maps)."""
+    f, cx, cy = 400.0, 200.0, 150.0
+    intr = jnp.asarray([f, cx, cy, 0, 0, 0, 0], dtype=jnp.float64)
+    n = 120
+    xy = rng.uniform(-3, 3, size=(n, 2))
+    pts = np.column_stack([xy[:, 0], xy[:, 1], np.full(n, 9.0)])
+    rvec_true = np.array([0.05, -0.2, 0.02])
+    tvec_true = np.array([0.8, -0.1, 0.3])
+    R = cv2.Rodrigues(rvec_true)[0]
+    pc = pts @ R.T + tvec_true
+    uv = pc[:, :2] / pc[:, 2:3] * f + [cx, cy]
+    uv += rng.normal(size=(n, 2)) * 0.3
+    uv[:20] = rng.uniform(0, 400, size=(20, 2))  # outliers
+
+    pose, mask, ratio = solve_pnp_ransac(
+        jax.random.key(9), jnp.asarray(pts), jnp.asarray(uv), intr,
+        jnp.ones(n, bool), 3.0,
+    )
+    pose = np.asarray(pose)
+    np.testing.assert_allclose(pose[:3], rvec_true, atol=5e-3)
+    np.testing.assert_allclose(pose[3:], tvec_true, atol=3e-2)
+    assert float(ratio) > 0.7
 
 
 def test_pnp_ransac_vs_opencv(rng):
