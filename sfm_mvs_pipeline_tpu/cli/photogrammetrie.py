@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 import numpy as np
 
@@ -88,6 +89,22 @@ def main(args: AppArgs) -> int:
         log.error("no -Pimage given")
         print_usage()
         return 2
+
+    # a resume checkpoint living INSIDE the output dir (the common case:
+    # resume from the previous run's own scene.npz) must survive the
+    # reference-semantics workdir wipe below — stash it first
+    resume = args.get("resume")
+    stash = None
+    if resume and os.path.exists(resume):
+        r_real = os.path.realpath(resume)
+        out_real = os.path.realpath(out_dir)
+        if r_real == out_real or r_real.startswith(out_real + os.sep):
+            stash = tempfile.mkdtemp(prefix="sfm_resume_")
+            for p in (resume, resume + ".json"):
+                if os.path.exists(p):
+                    shutil.copy2(p, stash)
+            new_resume = os.path.join(stash, os.path.basename(resume))
+            args.params["resume"] = [new_resume]
 
     prepare_working_dir(out_dir)
 
@@ -462,6 +479,11 @@ def _run_resumed(args: AppArgs, out_dir: str, resume_path: str) -> int:
     )
     if args.is_flag("colored"):
         colorize_points(scene)
+    # re-save the checkpoint into the (wiped) workdir so resumed runs keep
+    # the same artifact contract as full runs and can themselves be resumed
+    from sfm_mvs_pipeline_tpu.utils.checkpoint import save_scene
+
+    save_scene(scene, os.path.join(out_dir, "scene.npz"))
     live = scene.point_valid
     write_ply_points(
         os.path.join(out_dir, "pointcloud_sparse.ply"),

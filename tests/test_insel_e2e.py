@@ -138,3 +138,42 @@ def test_insel_sequence_mode_recovers_all_views(tmp_path):
     assert rc == 0
     scene = load_scene(str(out / "scene.npz"))
     assert int(scene.recovered.sum()) == 3
+
+
+def test_resume_from_checkpoint_inside_out_dir(tmp_path):
+    """-Presume= pointing at the PREVIOUS run's own scene.npz (inside
+    -Pout) must survive the reference-semantics workdir wipe
+    (PhotogrammetrieCli.cpp:399-402): the checkpoint is stashed before
+    the wipe. Regression: the wipe deleted the checkpoint before it was
+    read (FileNotFoundError)."""
+    import cv2
+
+    from sfm_mvs_pipeline_tpu.cli.app import main
+    from sfm_mvs_pipeline_tpu.utils.checkpoint import load_scene
+
+    data = tmp_path / "insel_small"
+    data.mkdir()
+    for name in sorted(os.listdir(INSEL)):
+        img = cv2.imread(os.path.join(INSEL, name))
+        img = cv2.resize(img, (240, 135), interpolation=cv2.INTER_AREA)
+        cv2.imwrite(str(data / name), img)
+
+    out = tmp_path / "out"
+    base = [
+        "-Prun=photogrammetrie",
+        f"-Pimage={data}",
+        f"-Pout={out}",
+        "-Pfeature-limit=512",
+        "-Ploglevel=4",
+    ]
+    assert main(base) == 0
+    scene1 = load_scene(str(out / "scene.npz"))
+
+    # resume from the checkpoint INSIDE the out dir, with colorization so
+    # the resumed path does real work and rewrites the outputs
+    rc = main(base + [f"-Presume={out / 'scene.npz'}", "--colored"])
+    assert rc == 0
+    assert (out / "pointcloud_sparse.ply").exists()
+    scene2 = load_scene(str(out / "scene.npz"))
+    assert int(scene2.recovered.sum()) == int(scene1.recovered.sum())
+    np.testing.assert_allclose(scene2.poses, scene1.poses, atol=1e-6)

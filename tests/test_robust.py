@@ -171,6 +171,40 @@ def test_sampson_zero_for_perfect_points(rng):
     assert np.median(err) < 2.0 / f  # noise-level
 
 
+def test_two_view_model_scores_direction(rng):
+    """S_H/(S_H+S_E) must exceed 0.45 on a planar scene (both models
+    explain everything) and stay below it with genuine parallax (H only
+    explains the dominant plane's subset)."""
+    from sfm_mvs_pipeline_tpu.ops.epipolar import two_view_model_scores
+
+    def scores(planar):
+        if planar:
+            pts, R, t, uv1, uv2, (f, cx, cy) = _planar_two_view_scene(rng)
+        else:
+            pts, R, t, uv1, uv2, (f, cx, cy) = _two_view_scene(
+                rng, outliers=0
+            )
+        xy1 = (uv1 - [cx, cy]) / f
+        xy2 = (uv2 - [cx, cy]) / f
+        valid = np.ones(len(uv1), bool)
+        tn = 1.0 / f
+        key = jax.random.key(4)
+        ke, kh = jax.random.split(key)
+        E, _, _ = find_essential_ransac(
+            ke, jnp.asarray(xy1), jnp.asarray(xy2), jnp.asarray(valid), tn
+        )
+        H, _, _ = find_homography_ransac(
+            kh, jnp.asarray(xy1), jnp.asarray(xy2), jnp.asarray(valid), tn
+        )
+        se, sh = two_view_model_scores(
+            E, H, jnp.asarray(xy1), jnp.asarray(xy2), jnp.asarray(valid), tn
+        )
+        return float(sh / (sh + se))
+
+    assert scores(planar=True) > 0.45
+    assert scores(planar=False) < 0.45
+
+
 def test_pnp_ransac_planar_map(rng):
     """PnP must register a view against a COPLANAR 3D map (6-point DLT
     alone is rank-deficient there; the planar 4-point homography family
