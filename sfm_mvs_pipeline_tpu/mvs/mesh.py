@@ -92,18 +92,38 @@ def cluster_vertices(
     if len(vertices) == 0:
         return vertices, faces, colors
     keys = np.floor(vertices / cell).astype(np.int64)
-    # hash grid cells
+    # pack the 3 cell coordinates into ONE int64 key: np.unique on a 1D
+    # array sorts 8-byte scalars instead of lexsorting rows (axis=0 cost
+    # 31 s on the 7.8M-vertex big scene; packed ~4 s)
+    keys -= keys.min(axis=0)
+    r = keys.max(axis=0).astype(np.int64) + 1
+    packed = (keys[:, 0] * r[1] + keys[:, 1]) * r[2] + keys[:, 2]
     _, inv, counts = np.unique(
-        keys, axis=0, return_inverse=True, return_counts=True
+        packed, return_inverse=True, return_counts=True
     )
     n_clusters = counts.shape[0]
-    acc = np.zeros((n_clusters, 3))
-    np.add.at(acc, inv, vertices)
-    new_verts = acc / counts[:, None]
+    # bincount per column: np.add.at's buffered scatter cost ~20 s on the
+    # 7.8M-vertex big scene; bincount is a tight counting loop
+    new_verts = np.stack(
+        [
+            np.bincount(inv, weights=vertices[:, c], minlength=n_clusters)
+            for c in range(3)
+        ],
+        axis=1,
+    ) / counts[:, None]
     new_cols = None
     if colors is not None:
-        cacc = np.zeros((n_clusters, 3))
-        np.add.at(cacc, inv, colors.astype(np.float64))
+        cacc = np.stack(
+            [
+                np.bincount(
+                    inv,
+                    weights=colors[:, c].astype(np.float64),
+                    minlength=n_clusters,
+                )
+                for c in range(3)
+            ],
+            axis=1,
+        )
         new_cols = np.clip(cacc / counts[:, None], 0, 255).astype(np.uint8)
     new_faces = inv[faces]
     # drop degenerate + duplicate faces (the Clean pass)
@@ -113,8 +133,13 @@ def cluster_vertices(
         & (new_faces[:, 0] != new_faces[:, 2])
     )
     new_faces = new_faces[ok]
-    key = np.sort(new_faces, axis=1)
-    _, uniq = np.unique(key, axis=0, return_index=True)
+    key = np.sort(new_faces, axis=1).astype(np.int64)
+    if n_clusters <= 2_000_000:  # n^3 must stay inside int64
+        n = np.int64(n_clusters)
+        packed_f = (key[:, 0] * n + key[:, 1]) * n + key[:, 2]
+        _, uniq = np.unique(packed_f, return_index=True)
+    else:
+        _, uniq = np.unique(key, axis=0, return_index=True)
     return new_verts, new_faces[np.sort(uniq)], new_cols
 
 
@@ -159,14 +184,19 @@ def close_holes(
         return vertices, faces, colors
     # directed edges counted WITH multiplicity: an edge used by one face and
     # never in reverse is a boundary; an edge duplicated with the same
-    # winding (degenerate duplicated faces) is not a clean boundary
-    from collections import Counter
-
+    # winding (degenerate duplicated faces) is not a clean boundary.
+    # Packed-int64 vectorization — the previous python Counter over the
+    # 5.4M edge tuples of the big scene cost ~10 s on its own
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
-    cnt = Counter(map(tuple, e.tolist()))
-    boundary = [
-        (a, b) for (a, b), n in cnt.items() if n == 1 and (b, a) not in cnt
-    ]
+    nv64 = np.int64(len(vertices))
+    packed = e[:, 0].astype(np.int64) * nv64 + e[:, 1]
+    uniq_e, n_e = np.unique(packed, return_counts=True)
+    once = uniq_e[n_e == 1]
+    rev = (once % nv64) * nv64 + once // nv64
+    is_boundary = ~np.isin(rev, uniq_e)
+    ba = once[is_boundary] // nv64
+    bb = once[is_boundary] % nv64
+    boundary = list(zip(ba.tolist(), bb.tolist()))
     if not boundary:
         return vertices, faces, colors
     # boundary edges of a manifold-with-border mesh chain b->a around holes;
@@ -226,25 +256,22 @@ def remove_small_components(
     """Drop small disconnected islands (part of the Clean behavior)."""
     if len(faces) == 0:
         return vertices, faces, colors
-    parent = np.arange(len(vertices))
+    # sparse connected components over the face-edge graph (the Python
+    # union-find loop cost 19 s on the 1.8M-face big scene; <1 s sparse)
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for f in faces:
-        a, b, c = (int(x) for x in f)
-        ra, rb, rc = find(a), find(b), find(c)
-        parent[rb] = ra
-        parent[rc] = ra
-    roots = np.array([find(int(f[0])) for f in faces])
+    nv = len(vertices)
+    rows = np.concatenate([faces[:, 0], faces[:, 1]])
+    cols_ = np.concatenate([faces[:, 1], faces[:, 2]])
+    g = coo_matrix(
+        (np.ones(len(rows), np.int8), (rows, cols_)), shape=(nv, nv)
+    )
+    _, labels = connected_components(g, directed=False)
+    roots = labels[faces[:, 0]]
     uniq, counts = np.unique(roots, return_counts=True)
-    big = set(uniq[counts >= min_faces].tolist())
-    keep = np.array([r in big for r in roots])
+    big = uniq[counts >= min_faces]
+    keep = np.isin(roots, big)
     faces = faces[keep]
     used = np.unique(faces)
     remap = np.full(len(vertices), -1, np.int64)

@@ -43,35 +43,37 @@ def select_face_views(
     """Best source view per face (int, -1 when no view sees the face).
 
     Score mirrors openMVS's face-view quality: viewing angle x resolution
-    (projected area ~ cos(theta)/z^2)."""
-    import jax.numpy as jnp
-
-    from sfm_mvs_pipeline_tpu.models.cameras import project_points
-    from sfm_mvs_pipeline_tpu.ops.pose import camera_center
+    (projected area ~ cos(theta)/z^2). Host numpy: per-view pinhole
+    projection of face centroids (images are pre-undistorted) — the
+    device form fetched (V, F)-sized arrays back through the tunnel for
+    work with no MXU content."""
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
 
     normals, centroids = _face_geometry(vertices, faces)
     h, w = image_hw
-    poses_d = jnp.asarray(poses, jnp.float32)
-    cent = jnp.asarray(centroids, jnp.float32)
-    uv, z = project_points(
-        poses_d,
-        jnp.asarray(intr, jnp.float32),
-        jnp.broadcast_to(cent[None], (len(poses), *cent.shape)),
-    )
-    uv = np.asarray(uv)  # (V, F, 2)
-    z = np.asarray(z)
-    import jax
-
-    centers = np.asarray(jax.vmap(camera_center)(poses_d))  # (V, 3)
-    to_cam = centers[:, None, :] - centroids[None]  # (V, F, 3)
-    to_cam /= np.maximum(np.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-12)
-    cosang = np.einsum("vfk,fk->vf", to_cam, normals)
-    inside = (
-        (uv[..., 0] >= 0) & (uv[..., 0] <= w - 1)
-        & (uv[..., 1] >= 0) & (uv[..., 1] <= h - 1)
-        & (z > 1e-6)
-    )
-    score = np.where(inside & (cosang > 0.05), cosang / np.maximum(z, 1e-6) ** 2, -1.0)
+    nf = len(faces)
+    score = np.full((len(poses), nf), -1.0, np.float32)
+    cent32 = centroids.astype(np.float32)
+    for v in range(len(poses)):
+        R = aa_to_rotmat_np(poses[v][:3]).astype(np.float32)
+        t = poses[v][3:6].astype(np.float32)
+        Xc = cent32 @ R.T + t
+        z = Xc[:, 2]
+        zs = np.maximum(z, 1e-6)
+        x = Xc[:, 0] / zs * intr[0] + intr[1]
+        y = Xc[:, 1] / zs * intr[0] + intr[2]
+        C = -R.T @ t  # camera center
+        to_cam = C[None] - cent32
+        to_cam /= np.maximum(
+            np.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-12
+        )
+        cosang = np.einsum("fk,fk->f", to_cam, normals.astype(np.float32))
+        inside = (
+            (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1) & (z > 1e-6)
+        )
+        score[v] = np.where(
+            inside & (cosang > 0.05), cosang / zs**2, -1.0
+        )
     best = score.argmax(0)
     best[score.max(0) <= 0] = -1
     return best.astype(np.int32)
@@ -86,11 +88,6 @@ def build_texture_atlas(
     block: int = 8,
 ) -> dict:
     """Returns {"atlas": (A, A, 3) uint8, "uv": (F, 3, 2) float in [0, 1]}."""
-    import jax.numpy as jnp
-
-    from sfm_mvs_pipeline_tpu.models.cameras import project_points
-    from sfm_mvs_pipeline_tpu.mvs.plane_sweep import _bilinear_hw
-
     nf = len(faces)
     vh, vw = images.shape[1:3]
     best = select_face_views(vertices, faces, poses, intr, (vh, vw))
@@ -109,48 +106,51 @@ def build_texture_atlas(
     l2 = np.clip(l2 - over, 0, 1).ravel()
     l0 = np.clip(1.0 - l1 - l2, 0, 1)
 
-    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
-    # (F, B*B, 3) world positions of every texel
-    pos = (
-        v0[:, None, :] * l0[None, :, None]
-        + v1[:, None, :] * l1[None, :, None]
-        + v2[:, None, :] * l2[None, :, None]
-    ).astype(np.float32)
+    # Host-numpy sampling (r5): this is pure projection + bilinear gather
+    # — memory-bound pointer chasing with no MXU content. The previous
+    # device formulation padded every view's batch to the FULL face count
+    # to share one compile bucket (per-size buckets meant a fresh remote
+    # compile per view), i.e. V× overcompute plus GB-scale host<->device
+    # transfers of texel positions; measured 176 s on the 1.8M-face big
+    # scene. Texel positions are produced per CHUNK with a batched f32
+    # matmul (barycentric weights @ face corners) — materializing the full
+    # (F, B², 3) array in f64 broadcast arithmetic alone cost 130 s in
+    # temporaries on that scene. Chunking also caps peak temp memory.
+    from sfm_mvs_pipeline_tpu.ops.pose import aa_to_rotmat_np
 
-    import functools
-
-    import jax
-
-    @jax.jit
-    def _sample_view(pose, img, p):
-        uv, _ = project_points(pose, jnp.asarray(intr, jnp.float32), p[None])
-        uv = uv[0]
-        samples = jnp.stack(
-            [_bilinear_hw(img[..., c], uv[:, 0], uv[:, 1])[0] for c in range(3)],
-            axis=-1,
-        )
-        return jnp.clip(jnp.round(samples), 0, 255).astype(jnp.uint8)
-
-    images_d = jnp.asarray(images, jnp.float32)
+    L = np.stack([l0, l1, l2], axis=1).astype(np.float32)  # (B*B, 3)
+    corners = np.stack(
+        [vertices[faces[:, i]] for i in range(3)], axis=1
+    ).astype(np.float32)  # (F, 3, 3)
     texels = np.full((nf, block * block, 3), 128, np.uint8)
-    # ONE pow2 bucket sized by the total face count for every view: the
-    # per-view group sizes differ, and a bucket per size means a fresh
-    # remote compile per view (~tens of seconds each, the dominant cost of
-    # texturing a new scene); padded compute is cheap by comparison
-    m_all = max(64, 1 << int(np.ceil(np.log2(max(nf, 1)))))
+    chunk_faces = max(1, 4_000_000 // (block * block))
     for v in np.unique(best):
         if v < 0:
             continue
         sel = np.nonzero(best == v)[0]
-        m = m_all
-        p = np.zeros((m * block * block, 3), np.float32)
-        p[: len(sel) * block * block] = pos[sel].reshape(-1, 3)
-        samples = np.asarray(
-            _sample_view(
-                jnp.asarray(poses[v], jnp.float32), images_d[v], jnp.asarray(p)
-            )
-        )[: len(sel) * block * block]
-        texels[sel] = samples.reshape(len(sel), block * block, 3)
+        R = aa_to_rotmat_np(poses[v][:3]).astype(np.float32)
+        t = poses[v][3:6].astype(np.float32)
+        img = images[v]
+        for c0 in range(0, len(sel), chunk_faces):
+            sc = sel[c0 : c0 + chunk_faces]
+            # (Fc, B*B, 3) texel positions, one BLAS batch matmul
+            p = (L @ corners[sc]).reshape(-1, 3)
+            Xc = p @ R.T + t
+            z = np.maximum(Xc[:, 2], 1e-9)
+            # images are undistorted; intr distortion terms are zero here
+            x = np.clip(Xc[:, 0] / z * intr[0] + intr[1], 0.0, vw - 1.0)
+            y = np.clip(Xc[:, 1] / z * intr[0] + intr[2], 0.0, vh - 1.0)
+            x0 = np.minimum(x.astype(np.int32), vw - 2)
+            y0 = np.minimum(y.astype(np.int32), vh - 2)
+            fx = (x - x0)[:, None]
+            fy = (y - y0)[:, None]
+            s = img[y0, x0] * ((1 - fx) * (1 - fy))
+            s += img[y0, x0 + 1] * (fx * (1 - fy))
+            s += img[y0 + 1, x0] * ((1 - fx) * fy)
+            s += img[y0 + 1, x0 + 1] * (fx * fy)
+            texels[sc] = np.clip(np.round(s), 0, 255).astype(
+                np.uint8
+            ).reshape(len(sc), block * block, 3)
 
     # assemble: pad to rows*cols blocks, reshape row-major
     pad = rows * cols - nf
